@@ -1,0 +1,52 @@
+import numpy as np
+import jax.numpy as jnp
+
+from snn_automotive_object_detection_tpu.ops import nms as N
+from tests import oracles
+from tests.test_ops_boxes import random_boxes
+
+
+def run_nms(boxes, scores, valid, thr, groups=None):
+    keep, order = N.nms_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), thr,
+        groups=None if groups is None else jnp.asarray(groups),
+    )
+    return np.asarray(keep), np.asarray(order)
+
+
+def test_nms_matches_oracle(rng):
+    for trial in range(5):
+        boxes = random_boxes(rng, 64, size=200)
+        scores = rng.uniform(0, 1, 64).astype(np.float32)
+        keep, _ = run_nms(boxes, scores, np.ones(64, bool), 0.5)
+        want = set(oracles.greedy_nms(boxes, scores, 0.5))
+        assert set(np.nonzero(keep)[0].tolist()) == want
+
+
+def test_nms_respects_validity(rng):
+    boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (4, 1))
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    valid = np.array([False, True, True, True])
+    keep, _ = run_nms(boxes, scores, valid, 0.5)
+    # Best valid box (idx 1) survives, suppresses 2 and 3; idx 0 invalid.
+    assert keep.tolist() == [False, True, False, False]
+
+
+def test_batched_nms_matches_oracle(rng):
+    boxes = random_boxes(rng, 48, size=100)
+    scores = rng.uniform(0, 1, 48).astype(np.float32)
+    groups = rng.integers(0, 3, 48)
+    keep, _ = run_nms(boxes, scores, np.ones(48, bool), 0.4, groups)
+    want = set(oracles.greedy_nms(boxes, scores, 0.4, groups))
+    assert set(np.nonzero(keep)[0].tolist()) == want
+
+
+def test_topk_after_nms(rng):
+    scores = np.array([0.1, 0.9, 0.5, 0.7], np.float32)
+    keep = np.array([True, True, False, True])
+    idx, valid = N.topk_after_nms(jnp.asarray(scores), jnp.asarray(keep), 3)
+    assert np.asarray(idx).tolist() == [1, 3, 0]
+    assert np.asarray(valid).all()
+
+    idx, valid = N.topk_after_nms(jnp.asarray(scores), jnp.asarray(keep), 4)
+    assert np.asarray(valid).tolist() == [True, True, True, False]
