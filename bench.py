@@ -1,0 +1,92 @@
+"""Benchmark: SNN Faster R-CNN inference throughput on one TPU chip.
+
+Measures images/sec of the flagship configuration — the released operating
+point of the reference (Cityscapes, T_rpn=8, T_det=12, batch 2, input
+768x1536; BASELINE.md) — end-to-end: normalize -> ResNet-50-FPN -> spiking
+RPN -> proposal filtering/NMS -> RoIAlign -> spiking box head -> open-set
+postprocess, all inside one jitted function.
+
+vs_baseline compares against the reference-equivalent PyTorch CPU pipeline
+measured on this machine (tools/bench_baseline.py writes
+BENCH_BASELINE.json). The reference's own figure of merit is wall-clock
+"Time spent generating detections" (reference train.py:284-303).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    from snn_automotive_object_detection_tpu.models.factory import (
+        DetectorConfig,
+        init_params,
+    )
+    from snn_automotive_object_detection_tpu.models.detector import detector_apply
+
+    config = DetectorConfig(num_classes=9, rpn_snn=True, detector_snn=True,
+                            t_rpn=8, t_det=12)
+    params = init_params(config, jax.random.PRNGKey(0))
+    h, w = config.bucket
+
+    @jax.jit
+    def run(params, images):
+        b = {
+            "images": images,
+            "image_sizes": jnp.asarray([[h, w]] * batch, jnp.int32),
+            "original_sizes": jnp.asarray([[1024, 2048]] * batch, jnp.int32),
+        }
+        det, _ = detector_apply(params, b, config, training=False)
+        return det["boxes"], det["scores"], det["labels"], det["valid"]
+
+    key = jax.random.PRNGKey(1)
+    images = [
+        jax.random.uniform(jax.random.fold_in(key, i), (batch, h, w, 3), jnp.float32)
+        for i in range(4)
+    ]
+
+    import numpy as np
+
+    for i in range(warmup):
+        # Force a device->host readback: on the tunneled TPU platform,
+        # block_until_ready alone does not wait for remote completion.
+        np.asarray(run(params, images[i % len(images)])[1])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(params, images[i % len(images)])
+    np.asarray(out[1])  # executions serialize on-device; syncing the last
+    dt = time.perf_counter() - t0  # waits for all of them
+
+    imgs_per_sec = batch * iters / dt
+
+    vs_baseline = 0.0
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("cpu_reference_images_per_sec")
+        if ref:
+            vs_baseline = imgs_per_sec / ref
+
+    print(json.dumps({
+        "metric": "snn_faster_rcnn_inference_throughput_trpn8_tdet12_768x1536",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Detector assembly: backbone -> RPN -> RoI heads -> postprocess.
+
+Functional equivalent of the reference's ``GeneralizedRCNN`` + ``FasterRCNN``
+(/root/reference/generalized_rcnn.py:45-170, faster_rcnn.py:158-317):
+
+  * normalise -> (frozen) ResNet-50-FPN -> 5 feature levels
+  * RPN over all 5 levels; RoIAlign/RoI head over levels 0-3 only
+    (model.py:118)
+  * the backbone runs under stop_gradient, mirroring the reference's
+    unconditional ``torch.no_grad()`` (generalized_rcnn.py:93-94)
+  * eval: detections are rescaled to original image sizes, and the RPN's
+    pre-NMS {proposals, objectness} are merged into each detection dict for
+    new-object discovery (generalized_rcnn.py:124-132); ``all_boxes`` and
+    ``proposals`` are rescaled too (generalized_rcnn.py:146-170)
+  * train: returns the 4 losses {loss_objectness, loss_rpn_box_reg,
+    loss_classifier, loss_box_reg}
+
+One jit-compiled function per (bucket shape, mode); all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from snn_automotive_object_detection_tpu.models import heads
+from snn_automotive_object_detection_tpu.models import rpn as rpn_mod
+from snn_automotive_object_detection_tpu.models import roi_heads as roi_mod
+from snn_automotive_object_detection_tpu.models.resnet_fpn import resnet50_fpn_apply
+from snn_automotive_object_detection_tpu.models.transform import (
+    normalize_images,
+    rescale_boxes,
+)
+from snn_automotive_object_detection_tpu.ops.anchors import (
+    AnchorSpec,
+    fpn_feature_shapes,
+    generate_anchors,
+)
+
+
+def make_head_applies(config, params, collect_rates: bool):
+    """Bind head apply functions for the configured (SNN / ANN) variants."""
+    dtype = config.compute_dtype
+
+    if config.rpn_snn:
+        def rpn_head_apply(features):
+            return heads.rpn_head_snn_apply(
+                params["rpn_head"], features, config.t_rpn,
+                collect_rates=collect_rates, compute_dtype=dtype,
+            )
+    else:
+        def rpn_head_apply(features):
+            return heads.rpn_head_ann_apply(params["rpn_head"], features, dtype)
+
+    if config.detector_snn:
+        def box_head_apply(flat):
+            return heads.fastrcnn_snn_apply(
+                params["box_head"], flat, config.t_det,
+                collect_rates=collect_rates, compute_dtype=dtype,
+            )
+    else:
+        def box_head_apply(flat):
+            rep = heads.two_mlp_head_apply(params["box_head"], flat, dtype)
+            cls, reg = heads.fastrcnn_predictor_apply(params["box_predictor"], rep)
+            return cls, reg, None
+
+    return rpn_head_apply, box_head_apply
+
+
+def detector_apply(
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    config,
+    training: bool,
+    rng: Optional[jax.Array] = None,
+    collect_rates: bool = False,
+):
+    """Run the detector on one (static-shape) batch.
+
+    batch:
+      images:         [N, Hb, Wb, 3] float in [0,1] (host-resized + padded)
+      image_sizes:    [N, 2] valid (h, w) after resize
+      original_sizes: [N, 2] pre-resize (h, w)
+      targets (train): boxes [N, G, 4] (resized coords), labels [N, G],
+                       valid [N, G]
+
+    Returns (detections, losses):
+      eval  -> detections dict (original-image coordinates, masked fixed
+               capacity) incl. NOD fields; losses == {}
+      train -> detections == {} (plus optional rates); 4-entry losses dict
+    """
+    images = batch["images"]
+    n, hb, wb, _ = images.shape
+    bucket = (hb, wb)
+
+    x = normalize_images(images, config.image_mean, config.image_std)
+    feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
+    feats = [f.astype(jnp.float32) for f in feats]
+    # Backbone is always frozen (generalized_rcnn.py:93-94).
+    feats = [jax.lax.stop_gradient(f) for f in feats]
+
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_levels = generate_anchors(shapes, bucket, AnchorSpec())
+    level_counts = [a.shape[0] for a in anchor_levels]
+    anchors = jnp.concatenate(anchor_levels, axis=0)
+
+    rpn_head_apply, box_head_apply = make_head_applies(params=params, config=config,
+                                                       collect_rates=collect_rates)
+
+    key_rpn = key_roi = None
+    if training:
+        assert rng is not None, "training needs an rng for the samplers"
+        key_rpn, key_roi = jax.random.split(rng)
+
+    proposals, rpn_losses = rpn_mod.rpn_forward(
+        rpn_head_apply,
+        feats,
+        anchors,
+        level_counts,
+        batch["image_sizes"],
+        config.rpn,
+        training,
+        targets=batch.get("targets"),
+        loss_key=key_rpn,
+    )
+
+    det, roi_losses = roi_mod.roi_heads_forward(
+        box_head_apply,
+        feats[:4],
+        proposals["boxes"],
+        proposals["valid"],
+        batch["image_sizes"],
+        bucket,
+        config.roi,
+        training,
+        open_set=config.detector_snn,
+        targets=batch.get("targets"),
+        loss_key=key_roi,
+    )
+
+    losses = {**rpn_losses, **roi_losses}
+
+    if training:
+        out = {}
+        if collect_rates:
+            out["rpn_rates"] = proposals["rates"]
+            out["det_rates"] = det.get("rates")
+        return out, losses
+
+    # ---- eval: rescale everything to original image sizes
+    img_sizes = batch["image_sizes"]
+    orig_sizes = batch["original_sizes"]
+    det_out = {
+        "boxes": rescale_boxes(det["boxes"], img_sizes, orig_sizes),
+        "scores": det["scores"],
+        "labels": det["labels"],
+        "valid": det["valid"],
+        # Pre-NMS proposal dicts merged into detections
+        # (generalized_rcnn.py:124-132).
+        "proposals": rescale_boxes(
+            proposals["pre_nms_proposals"], img_sizes, orig_sizes
+        ),
+        "objectness": proposals["pre_nms_objectness"],
+    }
+    if "all_boxes" in det:
+        det_out["all_scores"] = det["all_scores"]
+        det_out["all_boxes"] = rescale_boxes(det["all_boxes"], img_sizes, orig_sizes)
+    if collect_rates:
+        det_out["rpn_rates"] = proposals["rates"]
+        det_out["det_rates"] = det.get("rates")
+    return det_out, losses

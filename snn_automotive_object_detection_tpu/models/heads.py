@@ -1,0 +1,313 @@
+"""RPN and box-head networks: spiking (LIF scan) and ANN variants.
+
+Reference behaviour being reproduced:
+  * ``RPNHeadSNN`` (/root/reference/rpn.py:33-121): per FPN level, a T_rpn-step
+    unroll of [constant-current LIF encoder (v_th=0.25) -> 3x3 conv (bias-free)
+    -> LIFCell (alpha=100, v_th=0.1) -> two 1x1 convs (bias-free) -> LICell
+    leaky integrators]; the FINAL-step LI membrane potentials are the
+    objectness / box-delta logits.
+  * ``FastRCNNPredictorSNNFull`` (/root/reference/faster_rcnn.py:414-516):
+    flattened 256*7*7 RoI features, T_det-step unroll of [encoder -> fc6
+    (12544->1024) -> LIF -> fc7 (1024->1024) -> LIF -> cls/bbox linears ->
+    LICells]; final membranes are the class logits / box deltas.
+  * ANN counterparts ``RPNHead`` (rpn.py:203-245), ``TwoMLPHead`` +
+    ``FastRCNNPredictor`` (faster_rcnn.py:320-411).
+
+TPU-first: the time axis is a ``lax.scan`` (single compiled step, weights
+stay resident), not a Python unroll. Spike-rate accumulators are first-class,
+flag-gated scan outputs — replacing the reference's comment-toggled
+"### EXTRACT SPIKE RATES ###" source hack (rpn.py:123-201,
+faster_rcnn.py:518-619). Reported rates match the reference convention:
+mean spikes per neuron per timestep (sum over T / T, averaged over all
+neurons of the layer), one value per image (RPN) or per RoI (detector).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_automotive_object_detection_tpu.snn import functional as snnf
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _conv(x, w, stride=1):
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _linear(x, w, b=None):
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _normal_conv(key, kh, kw, cin, cout, std=0.01):
+    """Reference RPN-head init: normal(std=0.01), zero bias (rpn.py:77-82)."""
+    return jax.random.normal(key, (kh, kw, cin, cout)) * std
+
+
+def _torch_linear_init(key, cin, cout, bias=True):
+    """torch.nn.Linear default init: U(-1/sqrt(cin), 1/sqrt(cin))."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(cin)
+    w = jax.random.uniform(k1, (cin, cout), minval=-bound, maxval=bound)
+    if not bias:
+        return {"w": w}
+    b = jax.random.uniform(k2, (cout,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+# ================================================================== RPN SNN
+
+
+def init_rpn_head_snn(key, in_channels: int = 256, num_anchors: int = 3):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "shared_conv": {"w": _normal_conv(k1, 3, 3, in_channels, in_channels)},
+        "conv_cls": {"w": _normal_conv(k2, 1, 1, in_channels, num_anchors)},
+        "conv_bbox": {"w": _normal_conv(k3, 1, 1, in_channels, num_anchors * 4)},
+    }
+
+
+def rpn_head_snn_apply(
+    params: Dict[str, Any],
+    features: List[jnp.ndarray],
+    num_steps: int,
+    collect_rates: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], Optional[Dict[str, jnp.ndarray]]]:
+    """Spiking RPN head over all FPN levels.
+
+    features: list of [N, H_l, W_l, C] maps. Returns (objectness list
+    [N, H_l, W_l, A], bbox list [N, H_l, W_l, 4A], rates or None).
+
+    rates (when collected): dict with per-level arrays of shape [N] —
+    "shared" (the spiking conv layer consumed by the energy analysis,
+    train.py:482-488), "encoder", "obj", "bbox" (LI memb. means kept for
+    completeness like rpn.py:164-165).
+    """
+    logits, bbox_reg = [], []
+    rates: Dict[str, List[jnp.ndarray]] = {"encoder": [], "shared": []}
+
+    w_shared = params["shared_conv"]["w"]
+    w_cls = params["conv_cls"]["w"]
+    w_bbox = params["conv_bbox"]["w"]
+
+    for feat in features:
+        x = feat.astype(jnp.float32)
+        n, h, w, c = x.shape
+        a = w_cls.shape[-1]
+
+        def step(carry, _):
+            v_enc, lif, li_o, li_b, cnt_enc, cnt_shared = carry
+            z, v_enc = snnf.lif_current_encoder(x, v_enc)
+            cur = _conv(z.astype(compute_dtype), w_shared).astype(jnp.float32)
+            s, lif = snnf.lif_feed_forward_step(cur, lif)
+            sc = s.astype(compute_dtype)
+            mo, li_o = snnf.li_feed_forward_step(
+                _conv(sc, w_cls).astype(jnp.float32), li_o
+            )
+            mb, li_b = snnf.li_feed_forward_step(
+                _conv(sc, w_bbox).astype(jnp.float32), li_b
+            )
+            if collect_rates:
+                cnt_enc = cnt_enc + z.sum(axis=(1, 2, 3))
+                cnt_shared = cnt_shared + s.sum(axis=(1, 2, 3))
+            return (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), None
+
+        carry0 = (
+            jnp.zeros_like(x),
+            snnf.zeros_lif_state(x.shape),
+            snnf.zeros_li_state((n, h, w, a)),
+            snnf.zeros_li_state((n, h, w, 4 * a)),
+            jnp.zeros((n,)),
+            jnp.zeros((n,)),
+        )
+        (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), _ = jax.lax.scan(
+            step, carry0, None, length=num_steps
+        )
+        logits.append(li_o.v)
+        bbox_reg.append(li_b.v)
+        if collect_rates:
+            numel = h * w * c
+            rates["encoder"].append(cnt_enc / (num_steps * numel))
+            rates["shared"].append(cnt_shared / (num_steps * numel))
+
+    out_rates = None
+    if collect_rates:
+        out_rates = {k: jnp.stack(v, axis=0) for k, v in rates.items()}  # [L, N]
+    return logits, bbox_reg, out_rates
+
+
+# ================================================================== RPN ANN
+
+
+def init_rpn_head_ann(key, in_channels: int = 256, num_anchors: int = 3):
+    """ANN RPN head (conv+ReLU then 1x1 heads, with biases)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    zero = jnp.zeros
+    return {
+        "conv": {"w": _normal_conv(k1, 3, 3, in_channels, in_channels),
+                 "b": zero((in_channels,))},
+        "cls_logits": {"w": _normal_conv(k2, 1, 1, in_channels, num_anchors),
+                       "b": zero((num_anchors,))},
+        "bbox_pred": {"w": _normal_conv(k3, 1, 1, in_channels, num_anchors * 4),
+                      "b": zero((num_anchors * 4,))},
+    }
+
+
+def rpn_head_ann_apply(params, features, compute_dtype=jnp.bfloat16):
+    logits, bbox_reg = [], []
+    for feat in features:
+        x = feat.astype(compute_dtype)
+        t = jax.nn.relu(_conv(x, params["conv"]["w"]) + params["conv"]["b"])
+        t = t.astype(compute_dtype)
+        logits.append(
+            (_conv(t, params["cls_logits"]["w"]) + params["cls_logits"]["b"]).astype(jnp.float32)
+        )
+        bbox_reg.append(
+            (_conv(t, params["bbox_pred"]["w"]) + params["bbox_pred"]["b"]).astype(jnp.float32)
+        )
+    return logits, bbox_reg, None
+
+
+# ============================================================ Box head: SNN
+
+
+def init_fastrcnn_snn(
+    key, in_channels: int = 256 * 7 * 7, representation_size: int = 1024,
+    num_classes: int = 9, only_one_bbox: bool = False
+):
+    ks = jax.random.split(key, 4)
+    n_reg = 4 if only_one_bbox else num_classes * 4
+    return {
+        "fc6": _torch_linear_init(ks[0], in_channels, representation_size, bias=False),
+        "fc7": _torch_linear_init(ks[1], representation_size, representation_size, bias=False),
+        "cls_score": _torch_linear_init(ks[2], representation_size, num_classes, bias=False),
+        "bbox_pred": _torch_linear_init(ks[3], representation_size, n_reg, bias=False),
+    }
+
+
+def fastrcnn_snn_apply(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    num_steps: int,
+    collect_rates: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Spiking box head. x: [R, C*7*7] flattened RoI features.
+
+    Returns (class_logits [R, num_classes], bbox_deltas [R, n_reg], rates).
+    rates: {"encoder", "fc6", "fc7"}: [R] mean spikes/neuron/step.
+    """
+    x = x.astype(jnp.float32)
+    r, d_in = x.shape
+    rep = params["fc6"]["w"].shape[1]
+    n_cls = params["cls_score"]["w"].shape[1]
+    n_reg = params["bbox_pred"]["w"].shape[1]
+
+    w6 = params["fc6"]["w"]
+    w7 = params["fc7"]["w"]
+    wc = params["cls_score"]["w"]
+    wb = params["bbox_pred"]["w"]
+
+    def step(carry, _):
+        v_enc, l6, l7, li_c, li_b, c_enc, c6, c7 = carry
+        z, v_enc = snnf.lif_current_encoder(x, v_enc)
+        s6, l6 = snnf.lif_feed_forward_step(
+            _linear(z.astype(compute_dtype), w6).astype(jnp.float32), l6
+        )
+        s7, l7 = snnf.lif_feed_forward_step(
+            _linear(s6.astype(compute_dtype), w7).astype(jnp.float32), l7
+        )
+        s7c = s7.astype(compute_dtype)
+        mc, li_c = snnf.li_feed_forward_step(_linear(s7c, wc).astype(jnp.float32), li_c)
+        mb, li_b = snnf.li_feed_forward_step(_linear(s7c, wb).astype(jnp.float32), li_b)
+        if collect_rates:
+            c_enc = c_enc + z.sum(axis=1)
+            c6 = c6 + s6.sum(axis=1)
+            c7 = c7 + s7.sum(axis=1)
+        return (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), None
+
+    carry0 = (
+        jnp.zeros_like(x),
+        snnf.zeros_lif_state((r, rep)),
+        snnf.zeros_lif_state((r, rep)),
+        snnf.zeros_li_state((r, n_cls)),
+        snnf.zeros_li_state((r, n_reg)),
+        jnp.zeros((r,)),
+        jnp.zeros((r,)),
+        jnp.zeros((r,)),
+    )
+    (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), _ = jax.lax.scan(
+        step, carry0, None, length=num_steps
+    )
+
+    rates = None
+    if collect_rates:
+        rates = {
+            "encoder": c_enc / (num_steps * d_in),
+            "fc6": c6 / (num_steps * rep),
+            "fc7": c7 / (num_steps * rep),
+        }
+    return li_c.v, li_b.v, rates
+
+
+# ============================================================ Box head: ANN
+
+
+def init_two_mlp_head(key, in_channels: int = 256 * 7 * 7, representation_size: int = 1024):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc6": _torch_linear_init(k1, in_channels, representation_size),
+        "fc7": _torch_linear_init(k2, representation_size, representation_size),
+    }
+
+
+def two_mlp_head_apply(params, x, compute_dtype=jnp.bfloat16):
+    x = x.astype(compute_dtype)
+    x = jax.nn.relu(_linear(x, params["fc6"]["w"], params["fc6"]["b"]))
+    x = jax.nn.relu(_linear(x.astype(compute_dtype), params["fc7"]["w"], params["fc7"]["b"]))
+    return x.astype(jnp.float32)
+
+
+def init_fastrcnn_predictor(key, representation_size: int = 1024, num_classes: int = 9):
+    k1, k2 = jax.random.split(key)
+    return {
+        "cls_score": _torch_linear_init(k1, representation_size, num_classes),
+        "bbox_pred": _torch_linear_init(k2, representation_size, num_classes * 4),
+    }
+
+
+def fastrcnn_predictor_apply(params, x):
+    cls = _linear(x, params["cls_score"]["w"], params["cls_score"]["b"])
+    reg = _linear(x, params["bbox_pred"]["w"], params["bbox_pred"]["b"])
+    return cls, reg
+
+
+# ------------------------------------------------------ FLOP bookkeeping
+
+
+def rpn_level_flops(h: int, w: int, in_channels: int = 256) -> float:
+    """FLOPs/inference of the RPN shared 3x3 conv at one level — the constant
+    paired with its spike rate by the energy analysis (rpn.py:177-180)."""
+    return 9.0 * h * w * in_channels * in_channels
+
+
+def fc_flops(cin: int, cout: int) -> float:
+    """Per-RoI FLOPs of an FC layer (faster_rcnn.py spike-rate bookkeeping);
+    the analysis multiplies by the 1000 eval RoIs (train.py:494)."""
+    return float(cin) * float(cout)

@@ -1,0 +1,258 @@
+"""Region Proposal Network: proposal generation/filtering + training loss.
+
+Functional, static-shape equivalent of the reference's
+``RegionProposalNetwork`` (/root/reference/rpn.py:299-703):
+
+  * head outputs per level -> flatten in (y, x, anchor) order (NHWC gives
+    this for free, matching torchvision's permute_and_flatten ordering)
+  * decode deltas onto the anchor grids (coder weights (1,1,1,1), rpn.py:347)
+  * per-level top pre_nms_top_n by objectness (rpn.py:434-446)
+  * clip to image, drop boxes smaller than 1e-3, drop scores < score_thresh
+    (rpn.py:504-514) — as masks, not dynamic filtering
+  * per-level greedy NMS at 0.7 and post_nms_top_n selection (rpn.py:517-521)
+  * eval additionally returns the pre-NMS top-k {proposals, objectness}
+    (UNclipped, matching rpn.py:493-499) for new-object discovery
+  * train: anchors matched at 0.7/0.3 with low-quality matches, 256 sampled
+    at 50% positive, BCE objectness + smooth-L1(beta=1/9) box loss summed
+    over positives and normalised by the total sampled count
+    (rpn.py:376-432, 527-561)
+
+Everything is fixed-capacity: proposals are always [N, post_nms_top_n, 4]
+with a validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from snn_automotive_object_detection_tpu.ops import boxes as box_ops
+from snn_automotive_object_detection_tpu.ops import nms as nms_ops
+from snn_automotive_object_detection_tpu.ops.matcher import match_boxes
+from snn_automotive_object_detection_tpu.ops.sampler import balanced_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    """Hyperparameters from /root/reference/model.py:50-59."""
+
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 1000
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 1000
+    nms_thresh: float = 0.7
+    fg_iou_thresh: float = 0.7
+    bg_iou_thresh: float = 0.3
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    score_thresh: float = 0.0
+    min_size: float = 1e-3
+
+    def pre_nms_top_n(self, training: bool) -> int:
+        return self.pre_nms_top_n_train if training else self.pre_nms_top_n_test
+
+    def post_nms_top_n(self, training: bool) -> int:
+        return self.post_nms_top_n_train if training else self.post_nms_top_n_test
+
+
+def flatten_head_outputs(
+    objectness: List[jnp.ndarray], bbox_reg: List[jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray, List[int]]:
+    """[N,H,W,A] / [N,H,W,4A] per level -> [N,K] / [N,K,4] concatenated.
+
+    NHWC flattening yields (y, x, anchor) ordering, identical to the anchor
+    grid ordering and torchvision's concat_box_prediction_layers.
+    """
+    n = objectness[0].shape[0]
+    obj_flat, reg_flat, counts = [], [], []
+    for o, r in zip(objectness, bbox_reg):
+        _, h, w, a = o.shape
+        obj_flat.append(o.reshape(n, h * w * a))
+        reg_flat.append(r.reshape(n, h * w * a, 4))
+        counts.append(h * w * a)
+    return jnp.concatenate(obj_flat, 1), jnp.concatenate(reg_flat, 1), counts
+
+
+def select_pre_nms(
+    objectness: jnp.ndarray,
+    proposals: jnp.ndarray,
+    counts: List[int],
+    top_n: int,
+):
+    """Per-level top-k selection (rpn.py:434-446, 477-489).
+
+    objectness: [N, K]; proposals: [N, K, 4]; counts: anchors per level.
+    Returns (obj [N, S], props [N, S, 4], levels [S]) with
+    S = sum_l min(top_n, K_l).
+    """
+    obj_sel, prop_sel, levels = [], [], []
+    offset = 0
+    for lvl, k in enumerate(counts):
+        take = min(top_n, k)
+        o = objectness[:, offset:offset + k]
+        _, idx = jax.lax.top_k(o, take)  # [N, take]
+        obj_sel.append(jnp.take_along_axis(o, idx, axis=1))
+        p = proposals[:, offset:offset + k]
+        prop_sel.append(jnp.take_along_axis(p, idx[..., None], axis=1))
+        levels.append(jnp.full((take,), lvl, jnp.int32))
+        offset += k
+    return (
+        jnp.concatenate(obj_sel, 1),
+        jnp.concatenate(prop_sel, 1),
+        jnp.concatenate(levels, 0),
+    )
+
+
+def filter_proposals(
+    proposals: jnp.ndarray,
+    objectness: jnp.ndarray,
+    levels: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    cfg: RPNConfig,
+    training: bool,
+):
+    """Clip/filter/NMS per image. proposals: [N, S, 4]; objectness: [N, S]
+    (raw logits); levels: [S]; image_sizes: [N, 2] (h, w).
+
+    Returns dict with fixed-size outputs:
+      boxes [N, P, 4], scores [N, P], valid [N, P]  (P = post_nms_top_n)
+      pre_nms_proposals [N, S, 4] (unclipped), pre_nms_objectness [N, S]
+    """
+    post_n = cfg.post_nms_top_n(training)
+    scores = jax.nn.sigmoid(objectness)
+
+    def per_image(props, scr, size):
+        boxes = box_ops.clip_boxes_to_image(props, (size[0], size[1]))
+        valid = box_ops.small_box_mask(boxes, cfg.min_size)
+        valid = valid & (scr >= cfg.score_thresh)
+        keep, _ = nms_ops.nms_mask(boxes, scr, valid, cfg.nms_thresh, groups=levels)
+        idx, out_valid = nms_ops.topk_after_nms(scr, keep, post_n)
+        return boxes[idx], scr[idx], out_valid
+
+    b, s, v = jax.vmap(per_image)(proposals, scores, image_sizes)
+    return {
+        "boxes": b,
+        "scores": s,
+        "valid": v,
+        "pre_nms_proposals": proposals,
+        "pre_nms_objectness": scores,
+    }
+
+
+def assign_targets_to_anchors(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: RPNConfig,
+):
+    """Per-image anchor labelling (rpn.py:376-432).
+
+    anchors: [K, 4]; gt_boxes: [G, 4] padded; gt_valid: [G].
+    Returns labels [K] (1 fg / 0 bg / -1 ignore) and regression targets
+    [K, 4] (safe zeros for non-positive anchors).
+    """
+    quality = box_ops.box_iou(gt_boxes, anchors)  # [G, K]
+    matched = match_boxes(
+        quality, gt_valid, cfg.fg_iou_thresh, cfg.bg_iou_thresh,
+        allow_low_quality_matches=True,
+    )
+    labels = jnp.where(matched >= 0, 1.0, jnp.where(matched == -1, 0.0, -1.0))
+    # Empty-image case: all labels background (rpn.py:392-396).
+    any_gt = gt_valid.any()
+    labels = jnp.where(any_gt, labels, 0.0)
+
+    matched_boxes = gt_boxes[jnp.clip(matched, 0)]
+    # Encode only where positive; elsewhere use the anchor itself so the
+    # encode never sees degenerate boxes (loss only reads positives).
+    safe = jnp.where((labels == 1.0)[:, None], matched_boxes, anchors)
+    reg_targets = box_ops.encode_boxes(safe, anchors)
+    return labels, reg_targets
+
+
+def smooth_l1(diff: jnp.ndarray, beta: float) -> jnp.ndarray:
+    ad = jnp.abs(diff)
+    return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
+
+
+def rpn_loss(
+    key: jax.Array,
+    objectness: jnp.ndarray,
+    pred_deltas: jnp.ndarray,
+    labels: jnp.ndarray,
+    reg_targets: jnp.ndarray,
+    cfg: RPNConfig,
+):
+    """Batched RPN loss (rpn.py:527-561). objectness/labels: [N, K];
+    pred_deltas/reg_targets: [N, K, 4]."""
+    n = labels.shape[0]
+    keys = jax.random.split(key, n)
+    pos, neg = jax.vmap(
+        lambda k, l: balanced_sample(
+            k, l == 1.0, l == 0.0, cfg.batch_size_per_image, cfg.positive_fraction
+        )
+    )(keys, labels)
+
+    sampled = pos | neg
+    num_sampled = jnp.maximum(sampled.sum(), 1)
+
+    box_l = smooth_l1(pred_deltas - reg_targets, beta=1.0 / 9).sum(-1)
+    loss_box = (box_l * pos).sum() / num_sampled
+
+    # BCE with logits over sampled anchors, mean reduction.
+    z = objectness
+    t = labels
+    bce = jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    loss_obj = (bce * sampled).sum() / num_sampled
+
+    return loss_obj, loss_box
+
+
+def rpn_forward(
+    head_apply: Callable,
+    features: List[jnp.ndarray],
+    anchors: jnp.ndarray,
+    level_counts: List[int],
+    image_sizes: jnp.ndarray,
+    cfg: RPNConfig,
+    training: bool,
+    targets: Optional[Dict[str, jnp.ndarray]] = None,
+    loss_key: Optional[jax.Array] = None,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Full RPN pass (rpn.py:563-703).
+
+    head_apply: features -> (objectness list, bbox list, rates)
+    anchors: [K, 4] concatenated over levels; level_counts: anchors/level.
+    targets (train): {"boxes": [N, G, 4], "valid": [N, G]}.
+
+    Returns (proposals dict from filter_proposals + "rates",
+             losses dict — empty at eval like the reference).
+    """
+    objectness_maps, bbox_maps, rates = head_apply(features)
+    objectness, pred_deltas, counts = flatten_head_outputs(objectness_maps, bbox_maps)
+    assert counts == list(level_counts), (counts, level_counts)
+
+    proposals_all = box_ops.decode_boxes(
+        jax.lax.stop_gradient(pred_deltas), anchors[None, :, :]
+    )
+    obj_sg = jax.lax.stop_gradient(objectness)
+
+    obj_sel, prop_sel, levels = select_pre_nms(
+        obj_sg, proposals_all, counts, cfg.pre_nms_top_n(training)
+    )
+    out = filter_proposals(prop_sel, obj_sel, levels, image_sizes, cfg, training)
+    out["rates"] = rates
+
+    losses: Dict[str, jnp.ndarray] = {}
+    if training:
+        assert targets is not None and loss_key is not None
+        labels, reg_targets = jax.vmap(
+            lambda b, v: assign_targets_to_anchors(anchors, b, v, cfg)
+        )(targets["boxes"], targets["valid"])
+        loss_obj, loss_box = rpn_loss(
+            loss_key, objectness, pred_deltas, labels, reg_targets, cfg
+        )
+        losses = {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_box}
+    return out, losses

@@ -29,10 +29,20 @@ def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """
     area1 = box_area(boxes1)
     area2 = box_area(boxes2)
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    # Keep every [N, M] intermediate free of trailing size-2 dims: on TPU a
+    # [N, M, 2] tensor pads its minor dims to the (8, 128) tile — a 64x
+    # memory blowup at RPN scale (N = M ~ 5000).
+    iw = jnp.clip(
+        jnp.minimum(boxes1[:, None, 2], boxes2[None, :, 2])
+        - jnp.maximum(boxes1[:, None, 0], boxes2[None, :, 0]),
+        0.0,
+    )
+    ih = jnp.clip(
+        jnp.minimum(boxes1[:, None, 3], boxes2[None, :, 3])
+        - jnp.maximum(boxes1[:, None, 1], boxes2[None, :, 1]),
+        0.0,
+    )
+    inter = iw * ih
     union = area1[:, None] + area2[None, :] - inter
     # Guard 0/0 -> 0 (torch yields nan only for degenerate inputs we mask out).
     return jnp.where(union > 0, inter / union, 0.0)

@@ -1,0 +1,108 @@
+"""Optimizers, LR schedules and parameter freezing (optax).
+
+Mirrors the reference's options (/root/reference/train.py:52-63, 679-700,
+717-755): AdamW (default) or SGD+momentum, MultiStepLR / StepLR / ConstantLR
+schedules stepped per EPOCH, and freeze flags for fpn / rpn / detector.
+The backbone body is always frozen (SNN rule, model.py:14-20 +
+generalized_rcnn.py:93-94).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+
+import optax
+
+
+def build_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    milestones: Sequence[int] = (),
+    gamma: float = 0.5,
+    step_size: int = 0,
+    constant_factor: float = 0.0,
+):
+    """Epoch-indexed LR schedule as an optax step-indexed schedule.
+
+    milestones: MultiStepLR epochs (train.py lr-decay-milestones)
+    step_size/gamma: StepLR (lr-decay-step / lr-decay-rate)
+    constant_factor: ConstantLR — multiply lr by the factor during the FIRST
+      epoch only (train.py constant_lr_scheduler semantics with total_iters=1)
+    """
+    if milestones:
+        boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+    if step_size:
+        def sched(count):
+            epoch = count // steps_per_epoch
+            return base_lr * (gamma ** (epoch // step_size))
+        return sched
+    if constant_factor:
+        def sched(count):
+            epoch = count // steps_per_epoch
+            import jax.numpy as jnp
+            return jnp.where(epoch < 1, base_lr * constant_factor, base_lr)
+        return sched
+    return base_lr
+
+
+def build_optimizer(
+    opt_name: str = "AdamW",
+    learning_rate=0.0025,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+) -> optax.GradientTransformation:
+    """train.py:717-755 equivalents."""
+    name = opt_name.lower()
+    if name == "adamw":
+        return optax.adamw(learning_rate, weight_decay=weight_decay)
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate, momentum=momentum),
+        )
+    raise ValueError(f"unknown optimizer {opt_name!r} (AdamW or SGD)")
+
+
+def split_trainable(
+    params: Dict[str, Any],
+    freeze_fpn: bool = False,
+    freeze_rpn: bool = False,
+    freeze_detector: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Partition the param tree into (trainable, frozen) by module.
+
+    The ResNet body is always frozen; --freeze-fpn additionally freezes the
+    FPN convs; --freeze-rpn / --freeze-detector freeze the heads
+    (train.py:679-700).
+    """
+    trainable: Dict[str, Any] = {}
+    frozen: Dict[str, Any] = {}
+
+    bb = dict(params["backbone"])
+    fpn = bb.pop("fpn")
+    frozen["backbone"] = bb
+    if freeze_fpn:
+        frozen["backbone_fpn"] = fpn
+    else:
+        trainable["backbone_fpn"] = fpn
+
+    (frozen if freeze_rpn else trainable)["rpn_head"] = params["rpn_head"]
+    (frozen if freeze_detector else trainable)["box_head"] = params["box_head"]
+    if "box_predictor" in params:
+        (frozen if freeze_detector else trainable)["box_predictor"] = params[
+            "box_predictor"
+        ]
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
+    """Rebuild the full param tree from a split."""
+    parts = {**frozen, **trainable}
+    backbone = dict(parts["backbone"])
+    backbone["fpn"] = parts["backbone_fpn"]
+    out = {"backbone": backbone, "rpn_head": parts["rpn_head"],
+           "box_head": parts["box_head"]}
+    if "box_predictor" in parts:
+        out["box_predictor"] = parts["box_predictor"]
+    return out
