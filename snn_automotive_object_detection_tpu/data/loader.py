@@ -1,0 +1,207 @@
+"""Bucketed, fixed-shape batch loader with threaded prefetch.
+
+Replaces torch DataLoader + GeneralizedRCNNTransform batching
+(/root/reference/datasets.py:149-163, faster_rcnn.py:163-164): each image is
+
+  1. aspect-preserving resized so min side -> min_size (768) capped by
+     max_size (1536), boxes scaled along (cv2 bilinear == torch bilinear
+     align_corners=False)
+  2. degenerate GT boxes are patched +2 px like generalized_rcnn.py:84-91
+  3. padded bottom/right into the static bucket (min_size, max_size)
+  4. GT packed into fixed [MAX_GT] slots + validity mask
+
+yielding batches the jitted model consumes without recompilation. Worker
+threads overlap decode/augment with TPU compute (cv2 releases the GIL).
+
+Data-parallel sharding: ``shard=(process_index, process_count)`` splits the
+dataset like the reference's DistributedSampler (train.py:594-607).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import queue
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from snn_automotive_object_detection_tpu.models.transform import resize_shape
+
+MAX_GT = 128
+
+
+def resize_image_and_target(img: np.ndarray, target: Optional[dict],
+                            min_size: int, max_size: int):
+    """Returns (resized image float32 [0,1], target w/ scaled boxes,
+    (new_h, new_w))."""
+    import cv2
+
+    h, w = img.shape[:2]
+    nh, nw = resize_shape((h, w), min_size, max_size)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    if target is not None and len(target.get("boxes", ())):
+        b = target["boxes"].astype(np.float32).copy()
+        b[:, [0, 2]] *= nw / w
+        b[:, [1, 3]] *= nh / h
+        # Degenerate-box patch (+2 px), generalized_rcnn.py:84-91.
+        deg = b[:, 2:] <= b[:, :2]
+        b[:, 2:] = np.where(deg, b[:, 2:] + 2.0, b[:, 2:])
+        target = {**target, "boxes": b}
+    return resized, target, (nh, nw)
+
+
+def pack_targets(targets: List[dict], max_gt: int = MAX_GT):
+    n = len(targets)
+    boxes = np.zeros((n, max_gt, 4), np.float32)
+    labels = np.zeros((n, max_gt), np.int32)
+    valid = np.zeros((n, max_gt), bool)
+    for i, t in enumerate(targets):
+        g = min(len(t["boxes"]), max_gt)
+        if g:
+            boxes[i, :g] = t["boxes"][:g]
+            labels[i, :g] = t["labels"][:g]
+            valid[i, :g] = True
+    return {"boxes": boxes, "labels": labels, "valid": valid}
+
+
+class DetectionLoader:
+    """Iterates fixed-shape batches.
+
+    Yields dicts:
+      images [N, Hb, Wb, 3] float32, image_sizes [N, 2], original_sizes
+      [N, 2], image_ids [N], and (if with_targets) targets {boxes, labels,
+      valid}. The final partial batch is padded by repeating the last image
+      with pad_mask marking real entries.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        bucket: Tuple[int, int],
+        min_size: int = 768,
+        max_size: int = 1536,
+        shuffle: bool = False,
+        seed: int = 12,
+        with_targets: bool = True,
+        num_workers: int = 4,
+        shard: Tuple[int, int] = (0, 1),
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.bucket = bucket
+        self.min_size = min_size
+        self.max_size = max_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.with_targets = with_targets
+        self.num_workers = max(1, num_workers)
+        self.shard = shard
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch equivalent (train.py:900-903)."""
+        self.epoch = epoch
+
+    def _indices(self) -> List[int]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        rank, world = self.shard
+        return idx[rank::world].tolist()
+
+    def __len__(self):
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _load_one(self, i: int):
+        img, target = self.dataset[i]
+        orig = img.shape[:2]
+        img, target, new_size = resize_image_and_target(
+            img, target if self.with_targets else target, self.min_size, self.max_size
+        )
+        hb, wb = self.bucket
+        nh, nw = new_size
+        assert nh <= hb and nw <= wb, (
+            f"resized image {new_size} exceeds bucket {self.bucket}"
+        )
+        padded = np.zeros((hb, wb, 3), np.float32)
+        padded[:nh, :nw] = img
+        return padded, target, new_size, orig
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        results: Dict[int, tuple] = {}
+        lock = threading.Lock()
+        todo = queue.Queue()
+        for pos, i in enumerate(indices):
+            todo.put((pos, i))
+        errors = []
+
+        def worker():
+            while True:
+                try:
+                    pos, i = todo.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    out = self._load_one(i)
+                except Exception as e:  # propagate to the consumer
+                    errors.append(e)
+                    out = None
+                with lock:
+                    results[pos] = out
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        def take(pos):
+            while True:
+                with lock:
+                    if pos in results:
+                        out = results.pop(pos)
+                        break
+                if errors:
+                    raise errors[0]
+                threading.Event().wait(0.002)
+            if out is None:
+                raise errors[0]
+            return out
+
+        n_batches = len(self)
+        for b in range(n_batches):
+            lo = b * self.batch_size
+            hi = min(lo + self.batch_size, len(indices))
+            items = [take(p) for p in range(lo, hi)]
+            pad_mask = np.zeros(self.batch_size, bool)
+            pad_mask[: len(items)] = True
+            while len(items) < self.batch_size:
+                items.append(items[-1])
+
+            images = np.stack([it[0] for it in items])
+            new_sizes = np.asarray([it[2] for it in items], np.int32)
+            orig_sizes = np.asarray([it[3] for it in items], np.int32)
+            image_ids = np.asarray(
+                [np.asarray(it[1]["image_id"]).item() if it[1] else -1 for it in items]
+            )
+            batch = {
+                "images": images,
+                "image_sizes": new_sizes,
+                "original_sizes": orig_sizes,
+                "image_ids": image_ids,
+                "pad_mask": pad_mask,
+            }
+            if self.with_targets:
+                batch["targets"] = pack_targets([it[1] for it in items])
+            yield batch
