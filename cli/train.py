@@ -1,0 +1,530 @@
+"""Train / evaluate the (SNN) Faster R-CNN detector on TPU.
+
+Drop-in equivalent of the reference's train.py CLI (flag surface mirrored
+from /root/reference/train.py:33-128), TPU-native underneath: jitted SPMD
+steps over a data mesh, host input pipeline, Orbax checkpoints, from-scratch
+COCO evaluation.
+
+Examples
+--------
+# COCO eval of a converted released checkpoint:
+python cli/train.py -d cityscapes --rpn-snn --detector-snn -t-rpn 8 -t-det 12 \
+    --load-model model_Cityscapes_SNN_Trpn8_Tdet12.pth --test-only
+
+# Train the spiking RPN (stage 1 of the reference recipe):
+python cli/train.py -d cityscapes --rpn-snn --detector-snn --freeze-detector \
+    --epochs 25 --lr 5e-4 --lr-decay-milestones 10 15 20
+
+# Extract proposals/detections for new-object discovery:
+python cli/train.py -d bdd --rpn-snn --detector-snn --only-known-cls \
+    --load-model ckpt -ext-prop-det test -n-img 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_args_parser(add_help: bool = True):
+    p = argparse.ArgumentParser(description="TPU SNN Detection Training",
+                                add_help=add_help)
+    p.add_argument("-d", "--dataset", required=True,
+                   help="cityscapes | bdd | idd | pascal | coco, or a path "
+                        "to a dataset YAML in the same format")
+    p.add_argument("-t-rpn", "--rpn-steps", dest="num_steps_rpn", type=int, default=12)
+    p.add_argument("-t-det", "--det-steps", dest="num_steps_detector", type=int,
+                   default=16)
+    p.add_argument("--save-name", default="", type=str)
+    p.add_argument("-b", "--batch-size", type=int, default=2,
+                   help="images per device")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--opt", default="AdamW", type=str, help="AdamW or SGD")
+    p.add_argument("--lr", type=float, default=0.0025)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", "--weight-decay", dest="weight_decay", type=float,
+                   default=1e-4)
+    p.add_argument("--lr-decay-milestones", dest="lr_decay_milestones", type=int,
+                   nargs="+", default=[])
+    p.add_argument("--lr-decay-step", dest="lr_decay_step", type=int, default=0)
+    p.add_argument("--lr-decay-rate", dest="lr_decay_rate", type=float, default=0.5)
+    p.add_argument("--constant-lr-scheduler", dest="constant_lr_scheduler",
+                   type=float, default=0)
+    p.add_argument("--print-freq", type=int, default=20)
+    p.add_argument("--start-epoch", dest="start_epoch", type=int, default=1)
+    p.add_argument("--resume", default="", type=str, help="orbax checkpoint dir")
+    p.add_argument("--load-model", dest="load_model", default="", type=str,
+                   help=".pth (reference) or orbax checkpoint to load weights from")
+    p.add_argument("--validate-every-n-epochs", dest="validate_every_n_epochs",
+                   type=int, default=1)
+    p.add_argument("--test-only", dest="test_only", action="store_true")
+    p.add_argument("--plot-images", dest="plot_images", action="store_true")
+    p.add_argument("--save-images", dest="save_images", action="store_true")
+    p.add_argument("--save-images-option", dest="save_images_option",
+                   default="imgs_and_preds",
+                   choices=["imgs_and_preds", "one_img_preds"])
+    p.add_argument("--freeze-fpn", dest="freeze_fpn", action="store_true")
+    p.add_argument("--freeze-rpn", dest="freeze_rpn", action="store_true")
+    p.add_argument("--freeze-detector", dest="freeze_detector", action="store_true")
+    p.add_argument("--rpn-snn", dest="rpn_snn", action="store_true")
+    p.add_argument("--detector-snn", dest="detector_snn", action="store_true")
+    p.add_argument("--data-augmentation", dest="data_augmentation", default="hflip")
+    p.add_argument("--only-known-cls", dest="only_known_cls", action="store_true")
+    p.add_argument("--only-one-bbox", dest="only_one_bbox", action="store_true")
+    p.add_argument("-ext-prop-det", "--extract-proposals-and-detections",
+                   dest="extract_proposals_and_detections", nargs="+", default=[])
+    p.add_argument("-n-img", "--max-num-images-for-nod", dest="max_num_images_for_nod",
+                   type=int, default=20000)
+    p.add_argument("--rm-bg", dest="rm_bg", action="store_true",
+                   help="remove background predictions from detections")
+    p.add_argument("--extract-spike-rates", dest="extract_spike_rates", nargs="+",
+                   default=[])
+    p.add_argument("--add-noise", dest="add_noise", default="",
+                   choices=["", "gaussian", "syp", "rain", "light-rain",
+                            "heavy-rain"])
+    p.add_argument("--noise-intensity", dest="noise_intensity", type=float,
+                   default=0.05)
+    p.add_argument("--data-root", dest="data_root", default="", type=str)
+    p.add_argument("--out-dir", dest="out_dir_override", default="", type=str)
+    p.add_argument("--model-config", dest="model_config", default="", type=str,
+                   help="model hyperparameter YAML (configs/model.yaml)")
+    p.add_argument("--fp32", action="store_true",
+                   help="run compute in float32 instead of bfloat16")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+# --------------------------------------------------------------- helpers
+
+
+def build_everything(args):
+    import jax
+    import jax.numpy as jnp
+
+    from snn_automotive_object_detection_tpu.data import create_dataset
+    from snn_automotive_object_detection_tpu.data.loader import DetectionLoader
+    from snn_automotive_object_detection_tpu.data.transforms import (
+        eval_transform,
+        train_transform,
+    )
+    from snn_automotive_object_detection_tpu.models.factory import create_model
+    from snn_automotive_object_detection_tpu.utils.config import (
+        load_dataset_config,
+        load_model_yaml,
+    )
+
+    cfg = load_dataset_config(args.dataset, args.data_root or None)
+    out_dir = args.out_dir_override or cfg.get("out_dir", f"outputs/{cfg['dataset']}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    model_yaml = None
+    if args.model_config:
+        model_yaml = load_model_yaml(args.model_config)
+
+    num_classes = cfg["num_classes"]
+    if args.only_known_cls:
+        num_classes = len(cfg["known_classes"])
+
+    config, params = create_model(
+        dataset_name=cfg["dataset"],
+        num_classes=num_classes,
+        rpn_snn=args.rpn_snn,
+        detector_snn=args.detector_snn,
+        num_steps_rpn=args.num_steps_rpn,
+        num_steps_detector=args.num_steps_detector,
+        only_one_bbox=args.only_one_bbox,
+        seed=args.seed,
+        compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        model_yaml=model_yaml,
+    )
+
+    rank, world = jax.process_index(), jax.process_count()
+    rng = np.random.default_rng(args.seed + rank)
+
+    def make_loader(split, training):
+        tf = (train_transform(args.data_augmentation, rng) if training
+              else eval_transform(args.add_noise, args.noise_intensity, rng))
+        ds = create_dataset(args.dataset, split, transforms=tf,
+                            only_known_cls=args.only_known_cls,
+                            data_root=args.data_root or None, cfg=cfg)
+        loader = DetectionLoader(
+            ds,
+            batch_size=args.batch_size * jax.local_device_count(),
+            bucket=config.bucket,
+            min_size=config.min_size,
+            max_size=config.max_size,
+            shuffle=training,
+            seed=12,
+            num_workers=args.workers,
+            shard=(rank, world),
+        )
+        return ds, loader
+
+    return cfg, out_dir, config, params, make_loader
+
+
+def to_device_batch(batch, with_targets):
+    import jax.numpy as jnp
+
+    out = {
+        "images": jnp.asarray(batch["images"]),
+        "image_sizes": jnp.asarray(batch["image_sizes"]),
+        "original_sizes": jnp.asarray(batch["original_sizes"]),
+    }
+    if with_targets and "targets" in batch:
+        out["targets"] = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
+    return out
+
+
+def load_weights(args, config, params):
+    from snn_automotive_object_detection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        load_torch_checkpoint,
+        load_weights_lenient,
+    )
+
+    if not args.load_model:
+        return params
+    if args.load_model.endswith((".pth", ".pt")):
+        loaded = load_torch_checkpoint(
+            args.load_model, rpn_snn=config.rpn_snn,
+            detector_snn=config.detector_snn, only_one_bbox=config.only_one_bbox,
+        )
+    else:
+        loaded = load_checkpoint(args.load_model).get("params")
+    return load_weights_lenient(params, loaded)
+
+
+def compute_mean_avg_precision(eval_step, params, loader, dataset, rm_bg=False,
+                               print_freq=100):
+    """COCO mAP over a loader (train.py:271-314). Returns the 12 stats and
+    prints the reference's throughput figure of merit."""
+    from snn_automotive_object_detection_tpu.evaluation import CocoEvaluator
+    from snn_automotive_object_detection_tpu.utils.logging import MetricLogger
+
+    evaluator = CocoEvaluator(dataset, remove_bg=rm_bg)
+    logger = MetricLogger()
+    n_images = 0
+    t0 = time.perf_counter()
+    for batch in logger.log_every(loader, print_freq, "Test:"):
+        det = eval_step(params, to_device_batch(batch, False))
+        det = {k: np.asarray(v) for k, v in det.items()
+               if k not in ("rates", "rpn_rates", "det_rates")}
+        res = {}
+        for i, real in enumerate(batch["pad_mask"]):
+            if not real:
+                continue
+            res[int(batch["image_ids"][i])] = {
+                "boxes": det["boxes"][i],
+                "scores": det["scores"][i],
+                "labels": det["labels"][i],
+                "valid": det["valid"][i],
+            }
+            n_images += 1
+        evaluator.update(res)
+    dt = time.perf_counter() - t0
+    print(f"Time spent generating detections: "
+          f"{str(datetime.timedelta(seconds=int(dt)))} "
+          f"({n_images / dt:.3f} images/sec)")
+    evaluator.synchronize_between_processes()
+    evaluator.accumulate()
+    return evaluator.summarize()
+
+
+def extract_proposals_and_detections(eval_step, params, loader, out_path,
+                                     max_images):
+    """NOD extraction (train.py:233-260): per-image dicts {boxes, labels,
+    scores, all_scores, all_boxes, proposals, objectness} saved as .npz."""
+    per_img = []
+    for batch in loader:
+        det = eval_step(params, to_device_batch(batch, False))
+        det = {k: np.asarray(v) for k, v in det.items()
+               if k not in ("rates", "rpn_rates", "det_rates")}
+        for i, real in enumerate(batch["pad_mask"]):
+            if not real or len(per_img) >= max_images:
+                continue
+            v = det["valid"][i]
+            per_img.append({
+                "image_id": int(batch["image_ids"][i]),
+                "boxes": det["boxes"][i][v],
+                "labels": det["labels"][i][v],
+                "scores": det["scores"][i][v],
+                "all_scores": det["all_scores"][i],
+                "all_boxes": det["all_boxes"][i],
+                "proposals": det["proposals"][i],
+                "objectness": det["objectness"][i],
+            })
+        if len(per_img) >= max_images:
+            break
+    np.savez_compressed(out_path, results=np.asarray(per_img, dtype=object),
+                        allow_pickle=True)
+    print(f"saved {len(per_img)} per-image results to {out_path}")
+    return per_img
+
+
+def extract_spike_rates_run(eval_step, params, loader, config, max_batches=None):
+    """Spike-rate extraction + energy report (train.py:426-517), using the
+    first-class in-kernel accumulators instead of the source-hack."""
+    from snn_automotive_object_detection_tpu.ops.anchors import fpn_feature_shapes
+    from snn_automotive_object_detection_tpu.utils import energy as energy_mod
+
+    rpn_shared = []
+    fc6, fc7 = [], []
+    n = 0
+    for bi, batch in enumerate(loader):
+        det = eval_step(params, to_device_batch(batch, False))
+        rr = det["rpn_rates"]
+        dr = det["det_rates"]
+        keep = np.asarray(batch["pad_mask"])
+        rpn_shared.append(np.asarray(rr["shared"])[:, keep])
+        det_per_img = np.asarray(dr["fc6"]).reshape(len(keep), -1)
+        fc6.append(det_per_img[keep].reshape(-1))
+        fc7.append(np.asarray(dr["fc7"]).reshape(len(keep), -1)[keep].reshape(-1))
+        n += int(keep.sum())
+        if max_batches and bi + 1 >= max_batches:
+            break
+    print(f"Number of images processed: {n}")
+    rpn_rates = {"shared": np.concatenate(rpn_shared, axis=1)}
+    det_rates = {"fc6": np.concatenate(fc6), "fc7": np.concatenate(fc7)}
+
+    spikes = energy_mod.aggregate_rates(rpn_rates, det_rates,
+                                        config.t_rpn, config.t_det)
+    shapes = fpn_feature_shapes(config.bucket, 5)
+    flops = energy_mod.rpn_shared_flops(shapes) + energy_mod.detector_fc_flops(
+        num_rois=config.rpn.post_nms_top_n_test
+    )
+    report = energy_mod.energy_report(spikes, flops)
+    return {"rpn_rates": rpn_rates, "det_rates": det_rates, "report": report}
+
+
+def dump_hyperparams(path, args, config, params):
+    """Hyperparameter + frozen-module audit dump
+    (custom_utils.py:236-338 equivalent)."""
+    import jax
+
+    lines = [f"{k} = {v}" for k, v in sorted(vars(args).items())]
+    lines.append(f"config = {config}")
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    lines.append(f"total parameters = {n_params}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+# ------------------------------------------------------------------ main
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from snn_automotive_object_detection_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        is_main_process,
+        replicate,
+        shard_batch,
+    )
+    from snn_automotive_object_detection_tpu.train.optim import (
+        build_optimizer,
+        build_schedule,
+        merge_params,
+        split_trainable,
+    )
+    from snn_automotive_object_detection_tpu.train.steps import (
+        make_eval_step,
+        make_train_step,
+        make_val_loss_step,
+    )
+    from snn_automotive_object_detection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from snn_automotive_object_detection_tpu.utils.logging import (
+        MetricLogger,
+        ScalarWriter,
+    )
+
+    cfg, out_dir, config, params, make_loader = build_everything(args)
+    params = load_weights(args, config, params)
+    dump_hyperparams(os.path.join(out_dir, "hyperparams.txt"), args, config, params)
+
+    # ---------------- analysis / eval-only paths
+    if args.test_only:
+        ds, loader = make_loader("validation", training=False)
+        eval_step = make_eval_step(config)
+        stats = compute_mean_avg_precision(eval_step, params, loader, ds,
+                                           rm_bg=args.rm_bg,
+                                           print_freq=args.print_freq)
+        return stats
+
+    if args.extract_proposals_and_detections:
+        eval_step = make_eval_step(config)
+        for split in args.extract_proposals_and_detections:
+            split_opt = "train" if split == "train" else "validation"
+            ds, loader = make_loader(split_opt, training=False)
+            out = os.path.join(
+                out_dir, f"{split}_results_per_img_{cfg['dataset']}.npz"
+            )
+            extract_proposals_and_detections(eval_step, params, loader, out,
+                                             args.max_num_images_for_nod)
+        return None
+
+    if args.extract_spike_rates:
+        eval_step = make_eval_step(config, collect_rates=True)
+        for split in args.extract_spike_rates:
+            split_opt = "train" if split == "train" else "validation"
+            ds, loader = make_loader(split_opt, training=False)
+            res = extract_spike_rates_run(eval_step, params, loader, config)
+            np.savez(os.path.join(out_dir, f"spike_rates_{split}_{cfg['dataset']}.npz"),
+                     **{k: v for k, v in res["rpn_rates"].items()},
+                     **{k: v for k, v in res["det_rates"].items()})
+        return None
+
+    if args.plot_images or args.save_images:
+        from snn_automotive_object_detection_tpu.utils.config import class_names
+        from snn_automotive_object_detection_tpu.utils.plotting import (
+            save_prediction_panel,
+        )
+
+        ds, loader = make_loader("validation", training=False)
+        eval_step = make_eval_step(config)
+        names = class_names(cfg)
+        img_dir = os.path.join(out_dir, "pred_images")
+        count = 0
+        for batch in loader:
+            det = eval_step(params, to_device_batch(batch, False))
+            det = {k: np.asarray(v) for k, v in det.items()
+                   if not k.endswith("rates")}
+            for i, real in enumerate(batch["pad_mask"]):
+                if not real:
+                    continue
+                v = det["valid"][i]
+                h, w = batch["image_sizes"][i]
+                pred = {"boxes": det["boxes"][i][v] * np.array(
+                            [w, h, w, h]) / np.array(batch["original_sizes"][i])[[1, 0, 1, 0]],
+                        "labels": det["labels"][i][v],
+                        "scores": det["scores"][i][v]}
+                gt = None
+                if "targets" in batch:
+                    gv = batch["targets"]["valid"][i]
+                    gt = {"boxes": batch["targets"]["boxes"][i][gv],
+                          "labels": batch["targets"]["labels"][i][gv]}
+                save_prediction_panel(
+                    os.path.join(img_dir, f"img_{count:05d}.png"),
+                    batch["images"][i][: int(h), : int(w)],
+                    pred, gt, names, args.save_images_option,
+                )
+                count += 1
+            if count >= 50:
+                break
+        print(f"wrote {count} panels to {img_dir}")
+        return None
+
+    # ---------------- training
+    mesh = data_parallel_mesh()
+    trainable, frozen = split_trainable(
+        params, args.freeze_fpn, args.freeze_rpn, args.freeze_detector
+    )
+
+    ds_train, train_loader = make_loader("train", training=True)
+    ds_val, val_loader = make_loader("validation", training=False)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    schedule = build_schedule(
+        args.lr, steps_per_epoch,
+        milestones=args.lr_decay_milestones,
+        gamma=args.lr_decay_rate or 0.5,
+        step_size=args.lr_decay_step,
+        constant_factor=args.constant_lr_scheduler,
+    )
+    optimizer = build_optimizer(args.opt, schedule, args.momentum,
+                                args.weight_decay)
+    opt_state = optimizer.init(trainable)
+    start_epoch = args.start_epoch
+
+    if args.resume:
+        if args.load_model:
+            raise NotImplementedError("resume + load-model not supported "
+                                      "(matches the reference, train.py:651)")
+        state = load_checkpoint(args.resume, like={
+            "trainable": trainable, "frozen": frozen, "opt_state": opt_state,
+            "epoch": 0,
+        })
+        trainable, frozen = state["trainable"], state["frozen"]
+        opt_state = state["opt_state"]
+        start_epoch = int(state["epoch"]) + 1
+
+    trainable = replicate(trainable, mesh)
+    frozen = replicate(frozen, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_step = make_train_step(config, optimizer)
+    val_step = make_val_loss_step(config)
+
+    writer = ScalarWriter(os.path.join(out_dir, "runs",
+                                       datetime.datetime.now().strftime("%y%m%d_%H%M")))
+    key = jax.random.PRNGKey(args.seed)
+    global_step = 0
+    t_start = time.time()
+
+    for epoch in range(start_epoch, args.epochs + 1):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        header = f"Epoch: [{epoch}]"
+        for batch in logger.log_every(train_loader, args.print_freq, header):
+            key, sub = jax.random.split(key)
+            db = shard_batch(to_device_batch(batch, True), mesh)
+            trainable, opt_state, losses = train_step(
+                trainable, frozen, opt_state, db, sub
+            )
+            losses = {k: float(v) for k, v in losses.items()}
+            logger.update(**losses)
+            for k, v in losses.items():
+                writer.add_scalar(f"Loss/MiniBatch/{k}", v, global_step)
+            global_step += 1
+
+        for k, m in logger.meters.items():
+            writer.add_scalar(f"Loss/Epochs/{k}", m.global_avg, epoch)
+
+        if is_main_process():
+            # Per-epoch weights-only checkpoint (for --load-model) plus a
+            # rolling full training state (for --resume) — train.py:923-949.
+            merged = merge_params(
+                jax.device_get(trainable), jax.device_get(frozen)
+            )
+            name = f"model_{args.save_name or cfg['dataset']}_{epoch}"
+            save_checkpoint(os.path.join(out_dir, name), {"params": merged})
+            save_checkpoint(os.path.join(out_dir, "checkpoint"), {
+                "trainable": jax.device_get(trainable),
+                "frozen": jax.device_get(frozen),
+                "opt_state": jax.device_get(opt_state),
+                "epoch": epoch,
+            })
+
+        if epoch % args.validate_every_n_epochs == 0:
+            vlogger = MetricLogger()
+            merged = merge_params(trainable, frozen)
+            for batch in vlogger.log_every(val_loader, args.print_freq,
+                                           f"Val: [{epoch}]"):
+                key, sub = jax.random.split(key)
+                db = shard_batch(to_device_batch(batch, True), mesh)
+                vl = val_step(merged, db, sub)
+                vlogger.update(**{k: float(v) for k, v in vl.items()})
+            for k, m in vlogger.meters.items():
+                writer.add_scalar(f"Loss/Epochs/val_{k}", m.global_avg, epoch)
+
+    total = time.time() - t_start
+    print(f"Training time {str(datetime.timedelta(seconds=int(total)))}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -37,11 +37,12 @@ from snn_automotive_object_detection_tpu.snn import functional as snnf
 
 
 def _conv(x, w, stride=1):
+    kh, kw = w.shape[0], w.shape[1]
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],  # torch semantics
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )

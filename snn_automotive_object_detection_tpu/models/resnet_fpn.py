@@ -97,7 +97,13 @@ def init_resnet50_fpn(key) -> Dict[str, Any]:
 # ------------------------------------------------------------------ apply
 
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1, padding=None):
+    # Explicit symmetric padding (torch semantics): XLA's "SAME" pads
+    # asymmetrically for even inputs at stride 2, which would shift sampling
+    # vs the reference.
+    if padding is None:
+        kh, kw = w.shape[0], w.shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

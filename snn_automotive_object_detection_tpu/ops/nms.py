@@ -1,16 +1,20 @@
-"""Greedy NMS on TPU: fixed-shape, masked, O(N^2) suppression.
+"""Greedy NMS on TPU: blocked bitmask suppression, fixed shapes, masked.
 
 Replaces torchvision's native ``nms`` / ``batched_nms`` kernels used by the
 reference (/root/reference/rpn.py:517, /root/reference/roi_heads.py:1160-1161).
 
-Instead of the coordinate-offset trick torchvision uses for batched NMS (which
-costs float precision), suppression is restricted to pairs in the same group
-via an exact group-equality matrix.
+Instead of the coordinate-offset trick torchvision uses for batched NMS
+(which costs float precision), suppression is restricted to pairs in the
+same group via an exact group-equality matrix.
 
-The greedy pass is a ``lax.fori_loop`` over score-ranked boxes: at step ``i``
-the i-th ranked box (if still active) suppresses all lower-ranked boxes with
-IoU strictly greater than the threshold. This reproduces torchvision's greedy
-semantics exactly; all work per step is an [N]-wide vector op on the VPU.
+Algorithm (exact greedy semantics, TPU-friendly serial structure): boxes are
+score-sorted and processed in blocks of B. Each block is first suppressed by
+the already-kept boxes of earlier blocks (one [B, N] matrix op), then an
+in-block self-suppression fixpoint resolves the greedy chain (a box is
+suppressed iff an earlier *surviving* same-group box overlaps it above the
+threshold) — the same scheme as TF's TPU ``non_max_suppression_padded``.
+Serial depth is N/B outer steps plus a handful of fixpoint iterations,
+instead of N scalar steps; everything inside is an MXU/VPU-wide matrix op.
 """
 
 from __future__ import annotations
@@ -23,12 +27,40 @@ from snn_automotive_object_detection_tpu.ops.boxes import box_iou
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _self_suppress_fixpoint(sup: jnp.ndarray) -> jnp.ndarray:
+    """Resolve greedy suppression inside one block.
+
+    sup: [B, B] binary matrix, sup[i, j] = 1 if box i (earlier in score
+    order) would suppress box j, restricted to i < j. Returns the [B] bool
+    mask of SUPPRESSED boxes under greedy semantics.
+
+    Iteration: a box only suppresses others while it is itself unsuppressed;
+    zero out rows of suppressed boxes until a fixpoint (monotone, converges
+    in at most B steps, typically ~3).
+    """
+
+    def cond(state):
+        m, changed = state
+        return changed
+
+    def body(state):
+        m, _ = state
+        alive = m.sum(axis=0) == 0  # column j unsuppressed
+        m_new = m * alive[:, None].astype(m.dtype)
+        return (m_new, jnp.any(m_new != m))
+
+    m0 = sup.astype(jnp.float32)
+    m, _ = jax.lax.while_loop(cond, body, (m0, jnp.asarray(True)))
+    return m.sum(axis=0) > 0
+
+
 def nms_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
     groups: jnp.ndarray | None = None,
+    block_size: int = 256,
 ):
     """Masked greedy NMS.
 
@@ -45,28 +77,53 @@ def nms_mask(
               score order, matching torchvision's return convention.
     """
     n = boxes.shape[0]
+    b = min(block_size, n)
+    n_pad = ((n + b - 1) // b) * b
+    num_blocks = n_pad // b
+
     masked_scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-masked_scores).astype(jnp.int32)
 
-    b = boxes[order]
-    a0 = valid[order]
-    iou = box_iou(b, b)
-    over = iou > iou_threshold
+    sb = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
+    sa = jnp.zeros((n_pad,), bool).at[:n].set(valid[order])
     if groups is not None:
-        g = groups[order]
-        over = over & (g[:, None] == g[None, :])
+        sg = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(
+            groups[order].astype(jnp.int32)
+        )
+    else:
+        sg = None
 
-    ranks = jnp.arange(n)
+    col_idx = jnp.arange(n_pad)
 
-    def body(i, active):
-        keep_i = active[i]
-        suppress = keep_i & over[i] & (ranks > i)
-        return active & ~suppress
+    def outer(bi, kept):
+        start = bi * b
+        blk = jax.lax.dynamic_slice(sb, (start, 0), (b, 4))
+        blk_active = jax.lax.dynamic_slice(sa, (start,), (b,))
 
-    active = jax.lax.fori_loop(0, n, body, a0)
+        # Suppression by kept boxes of earlier blocks.
+        iou_prev = box_iou(blk, sb)  # [B, n_pad]
+        prev_mask = (col_idx[None, :] < start) & (kept > 0.5)[None, :]
+        if sg is not None:
+            blk_g = jax.lax.dynamic_slice(sg, (start,), (b,))
+            prev_mask = prev_mask & (blk_g[:, None] == sg[None, :])
+        suppressed_prev = ((iou_prev > iou_threshold) & prev_mask).any(axis=1)
+        active0 = blk_active & ~suppressed_prev
 
-    # Scatter keep mask back to original indexing.
-    keep = jnp.zeros(n, dtype=bool).at[order].set(active)
+        # In-block greedy fixpoint.
+        iou_self = box_iou(blk, blk)
+        rows = jnp.arange(b)
+        pair = (rows[:, None] < rows[None, :]) & active0[:, None] & active0[None, :]
+        if sg is not None:
+            pair = pair & (blk_g[:, None] == blk_g[None, :])
+        sup = pair & (iou_self > iou_threshold)
+        suppressed_self = _self_suppress_fixpoint(sup)
+
+        keep_blk = (active0 & ~suppressed_self).astype(kept.dtype)
+        return jax.lax.dynamic_update_slice(kept, keep_blk, (start,))
+
+    kept = jax.lax.fori_loop(0, num_blocks, outer, jnp.zeros((n_pad,), jnp.float32))
+
+    keep = jnp.zeros(n, dtype=bool).at[order].set(kept[:n] > 0.5)
     return keep, order
 
 

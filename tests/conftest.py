@@ -7,7 +7,7 @@ and exercise the multi-chip sharding path via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,14 @@ if "host_platform_device_count" not in flags:
     ).strip()
 # Keep matmuls deterministic & precise on CPU for golden tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The image's sitecustomize force-registers the tunneled TPU ("axon")
+# platform and prepends it to jax_platforms, overriding the env var — pin
+# the config back to CPU before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

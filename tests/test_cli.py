@@ -1,0 +1,131 @@
+"""CLI-level tests: drive cli/train.py's paths on a tiny synthetic dataset."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cli import train as cli_train
+
+
+@pytest.fixture(scope="module")
+def mini_env(tmp_path_factory):
+    import cv2
+
+    tmp = tmp_path_factory.mktemp("mini")
+    rng = np.random.default_rng(0)
+    img_dir = tmp / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    aid = 1
+    for i in range(1, 5):
+        h, w = 128, 256
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i}.png"), img)
+        images.append({"id": i, "file_name": f"{i}.png", "height": h, "width": w})
+        for _ in range(2):
+            x, y = rng.uniform(0, w - 80), rng.uniform(0, h - 60)
+            bw, bh = rng.uniform(30, 60), rng.uniform(20, 50)
+            annotations.append({"id": aid, "image_id": i, "bbox": [x, y, bw, bh],
+                                "category_id": int(rng.integers(1, 4)),
+                                "area": bw * bh, "iscrowd": 0})
+            aid += 1
+    ann_file = tmp / "ann.json"
+    ann_file.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": c, "name": f"c{c}"} for c in (1, 2, 3)],
+    }))
+
+    ds_yaml = tmp / "mini.yaml"
+    ds_yaml.write_text(f"""
+dataset: cityscapes
+images_dir: {img_dir}
+ann_file_train: {ann_file}
+ann_file_val: {ann_file}
+out_dir: {tmp / 'out'}
+num_classes: 4
+classes: {{0: background, 1: c1, 2: c2, 3: c3}}
+known_classes:
+  - {{id: 0, orig_id: 0, name: background}}
+  - {{id: 1, orig_id: 3, name: c3}}
+""")
+    model_yaml = tmp / "model.yaml"
+    model_yaml.write_text("""
+transform: {min_size: 64, max_size: 128}
+RPN:
+  rpn_pre_nms_top_n_train: 64
+  rpn_pre_nms_top_n_test: 64
+  rpn_post_nms_top_n_train: 32
+  rpn_post_nms_top_n_test: 32
+ROIHeads:
+  box_batch_size_per_image: 16
+  box_detections_per_img: 8
+""")
+    return tmp, str(ds_yaml), str(model_yaml)
+
+
+def make_args(mini_env, *extra):
+    _, ds_yaml, model_yaml = mini_env
+    argv = ["-d", ds_yaml, "--model-config", model_yaml, "--rpn-snn",
+            "--detector-snn", "-t-rpn", "2", "-t-det", "2", "-b", "2",
+            "-j", "2", "--fp32", *extra]
+    return cli_train.get_args_parser().parse_args(argv)
+
+
+def test_cli_test_only(mini_env, capsys):
+    args = make_args(mini_env, "--test-only")
+    stats = cli_train.main(args)
+    assert stats.shape == (12,)
+    out = capsys.readouterr().out
+    assert "Time spent generating detections" in out
+    tmp = mini_env[0]
+    assert (tmp / "out" / "hyperparams.txt").exists()
+
+
+def test_cli_extract_prop_det_and_nod(mini_env, tmp_path):
+    args = make_args(mini_env, "-ext-prop-det", "test", "-n-img", "3")
+    cli_train.main(args)
+    tmp = mini_env[0]
+    dump = tmp / "out" / "test_results_per_img_cityscapes.npz"
+    assert dump.exists()
+    data = list(np.load(dump, allow_pickle=True)["results"])
+    assert len(data) == 3
+    assert {"boxes", "labels", "scores", "all_scores", "all_boxes",
+            "proposals", "objectness"} <= set(data[0].keys())
+
+    # New-object discovery over the dump.
+    from cli.new_object_discovery import discover
+
+    processed = discover(data, "cityscapes", iou_thr=0.05, nms_thr=0.5)
+    assert len(processed) == 3
+    for p in processed:
+        assert p["new_boxes"].shape[1] == 4 if len(p["new_boxes"]) else True
+        assert len(p["new_object_scores"]) == len(p["new_boxes"])
+
+
+def test_cli_spike_rates(mini_env, capsys):
+    args = make_args(mini_env, "--extract-spike-rates", "test")
+    cli_train.main(args)
+    tmp = mini_env[0]
+    f = tmp / "out" / "spike_rates_test_cityscapes.npz"
+    assert f.exists()
+    data = np.load(f)
+    assert data["shared"].shape[0] == 5  # levels
+    out = capsys.readouterr().out
+    assert "Total energy consumption" in out
+
+
+def test_cli_train_one_epoch(mini_env):
+    args = make_args(mini_env, "--epochs", "1", "--lr", "1e-4",
+                     "--print-freq", "1")
+    cli_train.main(args)
+    tmp = mini_env[0]
+    assert (tmp / "out" / "checkpoint").exists()
+    # Resume from it for one more epoch.
+    args2 = make_args(mini_env, "--epochs", "2", "--resume",
+                      str(tmp / "out" / "checkpoint"), "--print-freq", "1")
+    cli_train.main(args2)
