@@ -149,6 +149,25 @@ class COCOEval:
         ious = bbox_iou_xyxy(d_boxes, g_boxes, g_crowd) if nd and ng else np.zeros((nd, ng))
 
         out = {"img": img_id, "cat": cat, "scores": d_scores, "d_area": d_area}
+
+        # Native fast path (csrc/coco_eval.cpp — the pycocotools-C-extension
+        # equivalent); identical semantics to the numpy loop below.
+        from snn_automotive_object_detection_tpu.evaluation._native import (
+            coco_match_native,
+        )
+
+        native = coco_match_native(
+            ious, d_area, g_crowd.astype(np.uint8), g_area, IOU_THRS,
+            np.asarray(list(AREA_RNG.values())),
+        )
+        if native is not None:
+            dtm_n, dt_ig_n, num_gt_n = native
+            for ai in range(len(AREA_RNG)):
+                out[f"dtm_{ai}"] = dtm_n[ai]
+                out[f"dtIg_{ai}"] = dt_ig_n[ai].astype(bool)
+                out[f"num_gt_{ai}"] = int(num_gt_n[ai])
+            return out
+
         for ai, (lo, hi) in enumerate(AREA_RNG.values()):
             g_ig = g_crowd | (g_area < lo) | (g_area > hi)
             # GT order: non-ignored first (stable), pycocotools gtind.

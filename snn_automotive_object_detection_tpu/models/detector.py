@@ -97,8 +97,9 @@ def detector_apply(
 
     x = normalize_images(images, config.image_mean, config.image_std)
     feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
-    feats = [f.astype(jnp.float32) for f in feats]
-    # Backbone is always frozen (generalized_rcnn.py:93-94).
+    # Features stay in compute_dtype (bf16): RoIAlign gathers and the SNN
+    # heads are HBM-bandwidth-bound. Backbone is always frozen
+    # (generalized_rcnn.py:93-94).
     feats = [jax.lax.stop_gradient(f) for f in feats]
 
     shapes = [(f.shape[1], f.shape[2]) for f in feats]

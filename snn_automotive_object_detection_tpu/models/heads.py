@@ -107,41 +107,41 @@ def rpn_head_snn_apply(
     w_cls = params["conv_cls"]["w"]
     w_bbox = params["conv_bbox"]["w"]
 
+    # LIF state is carried in compute_dtype: the big [N, H, W, 256] membrane
+    # and current tensors dominate HBM traffic at fp32 (the SNN step loop is
+    # memory-bound, not FLOP-bound). fp32 mode remains available for
+    # bit-level parity runs via compute_dtype=jnp.float32.
+    sd = compute_dtype
     for feat in features:
-        x = feat.astype(jnp.float32)
+        x = feat.astype(sd)
         n, h, w, c = x.shape
         a = w_cls.shape[-1]
 
         def step(carry, _):
             v_enc, lif, li_o, li_b, cnt_enc, cnt_shared = carry
             z, v_enc = snnf.lif_current_encoder(x, v_enc)
-            cur = _conv(z.astype(compute_dtype), w_shared).astype(jnp.float32)
+            cur = _conv(z, w_shared).astype(sd)
             s, lif = snnf.lif_feed_forward_step(cur, lif)
-            sc = s.astype(compute_dtype)
-            mo, li_o = snnf.li_feed_forward_step(
-                _conv(sc, w_cls).astype(jnp.float32), li_o
-            )
-            mb, li_b = snnf.li_feed_forward_step(
-                _conv(sc, w_bbox).astype(jnp.float32), li_b
-            )
+            mo, li_o = snnf.li_feed_forward_step(_conv(s, w_cls).astype(sd), li_o)
+            mb, li_b = snnf.li_feed_forward_step(_conv(s, w_bbox).astype(sd), li_b)
             if collect_rates:
-                cnt_enc = cnt_enc + z.sum(axis=(1, 2, 3))
-                cnt_shared = cnt_shared + s.sum(axis=(1, 2, 3))
+                cnt_enc = cnt_enc + z.astype(jnp.float32).sum(axis=(1, 2, 3))
+                cnt_shared = cnt_shared + s.astype(jnp.float32).sum(axis=(1, 2, 3))
             return (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), None
 
         carry0 = (
             jnp.zeros_like(x),
-            snnf.zeros_lif_state(x.shape),
-            snnf.zeros_li_state((n, h, w, a)),
-            snnf.zeros_li_state((n, h, w, 4 * a)),
+            snnf.zeros_lif_state(x.shape, sd),
+            snnf.zeros_li_state((n, h, w, a), sd),
+            snnf.zeros_li_state((n, h, w, 4 * a), sd),
             jnp.zeros((n,)),
             jnp.zeros((n,)),
         )
         (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), _ = jax.lax.scan(
             step, carry0, None, length=num_steps
         )
-        logits.append(li_o.v)
-        bbox_reg.append(li_b.v)
+        logits.append(li_o.v.astype(jnp.float32))
+        bbox_reg.append(li_b.v.astype(jnp.float32))
         if collect_rates:
             numel = h * w * c
             rates["encoder"].append(cnt_enc / (num_steps * numel))
@@ -214,7 +214,8 @@ def fastrcnn_snn_apply(
     Returns (class_logits [R, num_classes], bbox_deltas [R, n_reg], rates).
     rates: {"encoder", "fc6", "fc7"}: [R] mean spikes/neuron/step.
     """
-    x = x.astype(jnp.float32)
+    sd = compute_dtype  # see rpn_head_snn_apply: states carried in bf16
+    x = x.astype(sd)
     r, d_in = x.shape
     rep = params["fc6"]["w"].shape[1]
     n_cls = params["cls_score"]["w"].shape[1]
@@ -228,27 +229,22 @@ def fastrcnn_snn_apply(
     def step(carry, _):
         v_enc, l6, l7, li_c, li_b, c_enc, c6, c7 = carry
         z, v_enc = snnf.lif_current_encoder(x, v_enc)
-        s6, l6 = snnf.lif_feed_forward_step(
-            _linear(z.astype(compute_dtype), w6).astype(jnp.float32), l6
-        )
-        s7, l7 = snnf.lif_feed_forward_step(
-            _linear(s6.astype(compute_dtype), w7).astype(jnp.float32), l7
-        )
-        s7c = s7.astype(compute_dtype)
-        mc, li_c = snnf.li_feed_forward_step(_linear(s7c, wc).astype(jnp.float32), li_c)
-        mb, li_b = snnf.li_feed_forward_step(_linear(s7c, wb).astype(jnp.float32), li_b)
+        s6, l6 = snnf.lif_feed_forward_step(_linear(z, w6).astype(sd), l6)
+        s7, l7 = snnf.lif_feed_forward_step(_linear(s6, w7).astype(sd), l7)
+        mc, li_c = snnf.li_feed_forward_step(_linear(s7, wc).astype(sd), li_c)
+        mb, li_b = snnf.li_feed_forward_step(_linear(s7, wb).astype(sd), li_b)
         if collect_rates:
-            c_enc = c_enc + z.sum(axis=1)
-            c6 = c6 + s6.sum(axis=1)
-            c7 = c7 + s7.sum(axis=1)
+            c_enc = c_enc + z.astype(jnp.float32).sum(axis=1)
+            c6 = c6 + s6.astype(jnp.float32).sum(axis=1)
+            c7 = c7 + s7.astype(jnp.float32).sum(axis=1)
         return (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), None
 
     carry0 = (
         jnp.zeros_like(x),
-        snnf.zeros_lif_state((r, rep)),
-        snnf.zeros_lif_state((r, rep)),
-        snnf.zeros_li_state((r, n_cls)),
-        snnf.zeros_li_state((r, n_reg)),
+        snnf.zeros_lif_state((r, rep), sd),
+        snnf.zeros_lif_state((r, rep), sd),
+        snnf.zeros_li_state((r, n_cls), sd),
+        snnf.zeros_li_state((r, n_reg), sd),
         jnp.zeros((r,)),
         jnp.zeros((r,)),
         jnp.zeros((r,)),
@@ -264,7 +260,7 @@ def fastrcnn_snn_apply(
             "fc6": c6 / (num_steps * rep),
             "fc7": c7 / (num_steps * rep),
         }
-    return li_c.v, li_b.v, rates
+    return li_c.v.astype(jnp.float32), li_b.v.astype(jnp.float32), rates
 
 
 # ============================================================ Box head: ANN
