@@ -44,11 +44,14 @@ def make_head_applies(config, params, collect_rates: bool):
     """Bind head apply functions for the configured (SNN / ANN) variants."""
     dtype = config.compute_dtype
 
+    fast_enc = getattr(config, "fast_encoder", False)
+
     if config.rpn_snn:
         def rpn_head_apply(features):
             return heads.rpn_head_snn_apply(
                 params["rpn_head"], features, config.t_rpn,
                 collect_rates=collect_rates, compute_dtype=dtype,
+                fast_encoder=fast_enc,
             )
     else:
         def rpn_head_apply(features):
@@ -59,6 +62,7 @@ def make_head_applies(config, params, collect_rates: bool):
             return heads.fastrcnn_snn_apply(
                 params["box_head"], flat, config.t_det,
                 collect_rates=collect_rates, compute_dtype=dtype,
+                fast_encoder=fast_enc,
             )
     else:
         def box_head_apply(flat):

@@ -45,6 +45,11 @@ class DetectorConfig:
     compute_dtype: Any = jnp.bfloat16
     fpn_channels: int = 256
     representation_size: int = 1024
+    # Closed-form constant-current encoder (exact in real arithmetic; may
+    # flip fp-boundary spikes vs the step-by-step integration). Off by
+    # default: at XLA level the period map + integer mod cost more than the
+    # saved membrane traffic; it pays off inside fused Pallas kernels.
+    fast_encoder: bool = False
 
     @property
     def bucket(self) -> Tuple[int, int]:

@@ -89,6 +89,7 @@ def rpn_head_snn_apply(
     num_steps: int,
     collect_rates: bool = False,
     compute_dtype=jnp.bfloat16,
+    fast_encoder: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], Optional[Dict[str, jnp.ndarray]]]:
     """Spiking RPN head over all FPN levels.
 
@@ -116,10 +117,16 @@ def rpn_head_snn_apply(
         x = feat.astype(sd)
         n, h, w, c = x.shape
         a = w_cls.shape[-1]
+        # Constant-current encoder in closed form: one int32 period map
+        # replaces the carried membrane (see snnf.encoder_periods).
+        periods = snnf.encoder_periods(x) if fast_encoder else None
 
-        def step(carry, _):
+        def step(carry, t):
             v_enc, lif, li_o, li_b, cnt_enc, cnt_shared = carry
-            z, v_enc = snnf.lif_current_encoder(x, v_enc)
+            if fast_encoder:
+                z = snnf.encoder_spikes_at(periods, t, sd)
+            else:
+                z, v_enc = snnf.lif_current_encoder(x, v_enc)
             cur = _conv(z, w_shared).astype(sd)
             s, lif = snnf.lif_feed_forward_step(cur, lif)
             mo, li_o = snnf.li_feed_forward_step(_conv(s, w_cls).astype(sd), li_o)
@@ -130,7 +137,7 @@ def rpn_head_snn_apply(
             return (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), None
 
         carry0 = (
-            jnp.zeros_like(x),
+            jnp.zeros((1,), sd) if fast_encoder else jnp.zeros_like(x),
             snnf.zeros_lif_state(x.shape, sd),
             snnf.zeros_li_state((n, h, w, a), sd),
             snnf.zeros_li_state((n, h, w, 4 * a), sd),
@@ -138,7 +145,7 @@ def rpn_head_snn_apply(
             jnp.zeros((n,)),
         )
         (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), _ = jax.lax.scan(
-            step, carry0, None, length=num_steps
+            step, carry0, jnp.arange(num_steps)
         )
         logits.append(li_o.v.astype(jnp.float32))
         bbox_reg.append(li_b.v.astype(jnp.float32))
@@ -208,6 +215,7 @@ def fastrcnn_snn_apply(
     num_steps: int,
     collect_rates: bool = False,
     compute_dtype=jnp.bfloat16,
+    fast_encoder: bool = False,
 ):
     """Spiking box head. x: [R, C*7*7] flattened RoI features.
 
@@ -226,9 +234,14 @@ def fastrcnn_snn_apply(
     wc = params["cls_score"]["w"]
     wb = params["bbox_pred"]["w"]
 
-    def step(carry, _):
+    periods = snnf.encoder_periods(x) if fast_encoder else None
+
+    def step(carry, t):
         v_enc, l6, l7, li_c, li_b, c_enc, c6, c7 = carry
-        z, v_enc = snnf.lif_current_encoder(x, v_enc)
+        if fast_encoder:
+            z = snnf.encoder_spikes_at(periods, t, sd)
+        else:
+            z, v_enc = snnf.lif_current_encoder(x, v_enc)
         s6, l6 = snnf.lif_feed_forward_step(_linear(z, w6).astype(sd), l6)
         s7, l7 = snnf.lif_feed_forward_step(_linear(s6, w7).astype(sd), l7)
         mc, li_c = snnf.li_feed_forward_step(_linear(s7, wc).astype(sd), li_c)
@@ -240,7 +253,7 @@ def fastrcnn_snn_apply(
         return (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), None
 
     carry0 = (
-        jnp.zeros_like(x),
+        jnp.zeros((1,), sd) if fast_encoder else jnp.zeros_like(x),
         snnf.zeros_lif_state((r, rep), sd),
         snnf.zeros_lif_state((r, rep), sd),
         snnf.zeros_li_state((r, n_cls), sd),
@@ -250,7 +263,7 @@ def fastrcnn_snn_apply(
         jnp.zeros((r,)),
     )
     (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), _ = jax.lax.scan(
-        step, carry0, None, length=num_steps
+        step, carry0, jnp.arange(num_steps)
     )
 
     rates = None

@@ -155,6 +155,48 @@ def li_feed_forward_step(
     return v_new, LIState(v=v_new, i=i_decayed)
 
 
+def encoder_periods(
+    x: jnp.ndarray,
+    p: LIFParams = ENCODER_PARAMS,
+    dt: float = DT,
+) -> jnp.ndarray:
+    """Closed-form spike period of the constant-current LIF encoder.
+
+    For a CONSTANT input current x (exactly the reference's usage — the
+    encoder re-integrates the same feature map every step,
+    rpn.py:101/faster_rcnn.py:494), the membrane after m updates from reset
+    is v_m = x * (1 - a^m) with a = 1 - dt*tau_mem_inv, and the hard reset
+    restarts the identical trajectory. Spikes are therefore PERIODIC with
+    period m* = min{m : v_m > v_th}: z_t = ((t+1) mod m* == 0).
+
+    This removes the encoder's carried membrane state — the largest HBM
+    round-trip in the SNN step loop — and replaces it with one int32 period
+    map computed once. fp boundary cases are corrected against the pow-form
+    membrane; elements that never spike get a huge period.
+    """
+    a = 1.0 - dt * p.tau_mem_inv
+    xf = x.astype(jnp.float32)
+    can_spike = xf > p.v_th
+    r = jnp.where(can_spike, 1.0 - p.v_th / xf, 0.5)
+    m = jnp.floor(jnp.log(r) / jnp.log(a)).astype(jnp.int32) + 1
+    m = jnp.maximum(m, 1)
+    # fp boundary corrections (strict inequality v_m > v_th).
+    v_m = xf * (1.0 - a ** m.astype(jnp.float32))
+    m = jnp.where(v_m <= p.v_th, m + 1, m)
+    v_prev = xf * (1.0 - a ** (m - 1).astype(jnp.float32))
+    m = jnp.where((m > 1) & (v_prev > p.v_th), m - 1, m)
+    # uint8 keeps the per-step read at 1 byte/element; period 255 means
+    # "never spikes within any practical T" (valid for T <= 254).
+    m = jnp.where(can_spike, jnp.clip(m, 1, 255), 255)
+    return m.astype(jnp.uint8)
+
+
+def encoder_spikes_at(periods: jnp.ndarray, t: jnp.ndarray, dtype=jnp.float32):
+    """Spike pattern of the constant-current encoder at step t (0-based)."""
+    tt = (t + 1).astype(jnp.uint8)
+    return (jnp.mod(tt, periods) == 0).astype(dtype)
+
+
 def zeros_lif_state(shape, dtype=jnp.float32) -> LIFState:
     """Initial LIFCell state (norse inits v to v_leak=0, i to 0)."""
     return LIFState(v=jnp.zeros(shape, dtype), i=jnp.zeros(shape, dtype))

@@ -86,3 +86,28 @@ def test_gradient_flows_through_scan():
     g = jax.grad(loss)(w)
     assert np.isfinite(float(g))
     assert float(g) != 0.0
+
+
+def test_closed_form_encoder_matches_iterative(rng):
+    """encoder_periods/encoder_spikes_at == step-by-step integration."""
+    x = np.concatenate([
+        rng.uniform(-1, 5, 4000),
+        np.array([0.0, 0.25, 0.2500001, 0.26, 100.0, -3.0]),
+    ]).astype(np.float32)
+    t_max = 16
+    want = np.stack(oracles.lif_encoder_steps(x, t_max))  # [T, N]
+    periods = F.encoder_periods(jnp.asarray(x))
+    got = np.stack([
+        np.asarray(F.encoder_spikes_at(periods, jnp.asarray(t)))
+        for t in range(t_max)
+    ])
+    mismatch = (got != want).mean()
+    assert mismatch < 1e-3, mismatch  # only fp-boundary elements may differ
+    # The canonical operating currents must match exactly.
+    exact = np.array([0.5, 1.0, 2.0, 3.3], np.float32)
+    wp = np.stack(oracles.lif_encoder_steps(exact, t_max))
+    gp = np.stack([
+        np.asarray(F.encoder_spikes_at(F.encoder_periods(jnp.asarray(exact)),
+                                       jnp.asarray(t))) for t in range(t_max)
+    ])
+    np.testing.assert_array_equal(gp, wp)

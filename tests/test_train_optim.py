@@ -1,0 +1,72 @@
+"""Tests for optimizers, schedules and freeze-mask parameter splitting."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from snn_automotive_object_detection_tpu.models.factory import (
+    DetectorConfig,
+    init_params,
+)
+from snn_automotive_object_detection_tpu.train.optim import (
+    build_optimizer,
+    build_schedule,
+    merge_params,
+    split_trainable,
+)
+
+
+def test_multistep_schedule():
+    sched = build_schedule(1.0, steps_per_epoch=10, milestones=[2, 4], gamma=0.5)
+    assert float(sched(0)) == 1.0
+    assert float(sched(19)) == 1.0
+    assert float(sched(20)) == 0.5   # epoch 2
+    assert float(sched(39)) == 0.5
+    assert float(sched(40)) == 0.25  # epoch 4
+
+
+def test_steplr_schedule():
+    sched = build_schedule(1.0, steps_per_epoch=5, step_size=3, gamma=0.1)
+    assert float(sched(0)) == 1.0
+    assert float(sched(14)) == 1.0   # epoch 2
+    assert abs(float(sched(15)) - 0.1) < 1e-6  # epoch 3
+
+
+def test_constant_lr_first_epoch():
+    sched = build_schedule(1.0, steps_per_epoch=4, constant_factor=0.1)
+    assert abs(float(sched(0)) - 0.1) < 1e-6
+    assert float(sched(4)) == 1.0
+
+
+def test_split_and_merge_roundtrip():
+    cfg = DetectorConfig(num_classes=4, min_size=64, max_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    for kw in [{}, {"freeze_fpn": True}, {"freeze_rpn": True},
+               {"freeze_detector": True}]:
+        tr, fr = split_trainable(params, **kw)
+        merged = merge_params(tr, fr)
+        la, lb = jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ResNet body is always frozen; FPN trainable by default.
+    tr, fr = split_trainable(params)
+    assert "backbone" in fr and "backbone_fpn" in tr
+    assert "rpn_head" in tr and "box_head" in tr
+
+
+def test_optimizer_updates_only_trainable():
+    cfg = DetectorConfig(num_classes=4, min_size=64, max_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tr, fr = split_trainable(params, freeze_rpn=True)
+    assert "rpn_head" in fr
+    opt = build_optimizer("SGD", 0.1)
+    state = opt.init(tr)
+    grads = jax.tree_util.tree_map(jnp.ones_like, tr)
+    updates, _ = opt.update(grads, state, tr)
+    new_tr = optax.apply_updates(tr, updates)
+    a = jax.tree_util.tree_leaves(tr)[0]
+    b = jax.tree_util.tree_leaves(new_tr)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
