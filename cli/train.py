@@ -97,6 +97,9 @@ def get_args_parser(add_help: bool = True):
     p.add_argument("--out-dir", dest="out_dir_override", default="", type=str)
     p.add_argument("--model-config", dest="model_config", default="", type=str,
                    help="model hyperparameter YAML (configs/model.yaml)")
+    p.add_argument("--backbone", default="resnet50_fpn",
+                   choices=["resnet50_fpn", "mobilenet_v3_large_fpn",
+                            "mobilenet_v3_large_320_fpn"])
     p.add_argument("--fp32", action="store_true",
                    help="run compute in float32 instead of bfloat16")
     p.add_argument("--seed", type=int, default=0)
@@ -145,6 +148,7 @@ def build_everything(args):
         seed=args.seed,
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         model_yaml=model_yaml,
+        backbone=args.backbone,
     )
 
     rank, world = jax.process_index(), jax.process_count()

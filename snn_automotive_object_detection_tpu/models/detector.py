@@ -100,14 +100,21 @@ def detector_apply(
     bucket = (hb, wb)
 
     x = normalize_images(images, config.image_mean, config.image_std)
-    feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
+    if getattr(config, "backbone", "resnet50_fpn") == "resnet50_fpn":
+        feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
+    else:
+        from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
+            mobilenet_v3_fpn_apply,
+        )
+
+        feats = mobilenet_v3_fpn_apply(params["backbone"], x, config.compute_dtype)
     # Features stay in compute_dtype (bf16): RoIAlign gathers and the SNN
     # heads are HBM-bandwidth-bound. Backbone is always frozen
     # (generalized_rcnn.py:93-94).
     feats = [jax.lax.stop_gradient(f) for f in feats]
 
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchor_levels = generate_anchors(shapes, bucket, AnchorSpec())
+    anchor_levels = generate_anchors(shapes, bucket, config.anchor_spec)
     level_counts = [a.shape[0] for a in anchor_levels]
     anchors = jnp.concatenate(anchor_levels, axis=0)
 
@@ -133,7 +140,7 @@ def detector_apply(
 
     det, roi_losses = roi_mod.roi_heads_forward(
         box_head_apply,
-        feats[:4],
+        feats[:-1],  # all levels except "pool" (model.py:118)
         proposals["boxes"],
         proposals["valid"],
         batch["image_sizes"],

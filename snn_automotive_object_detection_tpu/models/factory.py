@@ -31,6 +31,9 @@ from snn_automotive_object_detection_tpu.models.transform import (
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:
     num_classes: int = 9
+    # "resnet50_fpn" (flagship) | "mobilenet_v3_large_fpn" |
+    # "mobilenet_v3_large_320_fpn" (reference faster_rcnn.py:628-831)
+    backbone: str = "resnet50_fpn"
     rpn_snn: bool = True
     detector_snn: bool = True
     t_rpn: int = 12           # code defaults (train.py:40-43)
@@ -56,6 +59,21 @@ class DetectorConfig:
         """Static padded batch shape (host pads every image to this)."""
         return (self.min_size, self.max_size)
 
+    @property
+    def anchor_spec(self):
+        from snn_automotive_object_detection_tpu.ops.anchors import AnchorSpec
+
+        if self.backbone == "resnet50_fpn":
+            return AnchorSpec()  # 5 levels x 1 size x 3 ratios
+        # mobilenet FPN: 3 levels x 5 sizes x 3 ratios
+        # (faster_rcnn.py:726-735)
+        sizes = ((32.0, 64.0, 128.0, 256.0, 512.0),) * 3
+        return AnchorSpec(sizes=sizes, aspect_ratios=((0.5, 1.0, 2.0),) * 3)
+
+    @property
+    def num_anchors_per_location(self) -> int:
+        return self.anchor_spec.num_anchors_per_location[0]
+
 
 def create_model(
     dataset_name: str,
@@ -68,6 +86,7 @@ def create_model(
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
     model_yaml: Optional[Dict[str, Any]] = None,
+    backbone: str = "resnet50_fpn",
 ) -> Tuple[DetectorConfig, Dict[str, Any]]:
     """Build (config, params) for a dataset, mirroring model.py:7-189.
 
@@ -88,6 +107,12 @@ def create_model(
         else {"score_thresh": 0.10, "nms_thresh": 0.45}
     )
     tr_kw: Dict[str, Any] = {}
+    if backbone == "mobilenet_v3_large_320_fpn":
+        # Low-resolution mobile preset (reference faster_rcnn.py:748-768):
+        # 320/640 input, reduced RPN budgets.
+        tr_kw.update(min_size=320, max_size=640)
+        rpn_kw.update(pre_nms_top_n_test=150, post_nms_top_n_test=150,
+                      score_thresh=0.05)
     if model_yaml:
         rpn_map = {
             "rpn_pre_nms_top_n_train": "pre_nms_top_n_train",
@@ -122,6 +147,7 @@ def create_model(
 
     config = DetectorConfig(
         num_classes=num_classes,
+        backbone=backbone,
         rpn_snn=rpn_snn,
         detector_snn=detector_snn,
         t_rpn=num_steps_rpn,
@@ -142,11 +168,24 @@ def create_model(
 def init_params(config: DetectorConfig, key: jax.Array) -> Dict[str, Any]:
     kb, kr, kh, kp = jax.random.split(key, 4)
     in_feats = config.fpn_channels * 7 * 7
-    params: Dict[str, Any] = {"backbone": init_resnet50_fpn(kb)}
-    if config.rpn_snn:
-        params["rpn_head"] = heads.init_rpn_head_snn(kr, config.fpn_channels, 3)
+    if config.backbone == "resnet50_fpn":
+        backbone_params = init_resnet50_fpn(kb)
+    elif config.backbone in ("mobilenet_v3_large_fpn", "mobilenet_v3_large_320_fpn"):
+        from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
+            init_mobilenet_v3_fpn,
+        )
+
+        backbone_params = init_mobilenet_v3_fpn(kb)
     else:
-        params["rpn_head"] = heads.init_rpn_head_ann(kr, config.fpn_channels, 3)
+        raise ValueError(f"unknown backbone {config.backbone!r}")
+    params: Dict[str, Any] = {"backbone": backbone_params}
+    n_anchors = config.num_anchors_per_location
+    if config.rpn_snn:
+        params["rpn_head"] = heads.init_rpn_head_snn(kr, config.fpn_channels,
+                                                     n_anchors)
+    else:
+        params["rpn_head"] = heads.init_rpn_head_ann(kr, config.fpn_channels,
+                                                     n_anchors)
     if config.detector_snn:
         params["box_head"] = heads.init_fastrcnn_snn(
             kh, in_feats, config.representation_size, config.num_classes,

@@ -35,10 +35,17 @@ from snn_automotive_object_detection_tpu.ops.boxes import box_area
 def _bilinear_gather(buf, y, x, heights, widths, offsets):
     """Gather bilinear-interpolated rows from a flattened multi-level buffer.
 
-    buf:     [T, C] flattened feature rows (row-major per level)
+    buf:     [T, C] flattened feature rows (row-major per level), with one
+             trailing zero row so 2-row slices never clamp
     y, x:    [P] float sample coordinates (level-local)
     heights, widths, offsets: [P] int32 per-point level geometry
     Returns [P, C] interpolated values (zero outside the tv border rule).
+
+    The two x-adjacent corners are fetched as ONE contiguous [2, C] slice
+    (x_low, x_low+1 are neighbouring rows in the row-major layout), halving
+    the number of random HBM accesses vs four independent row gathers; the
+    x_high == x_low border case is handled by zeroing the second column's
+    weight (lx == 0 there).
     """
     hf = heights.astype(y.dtype)
     wf = widths.astype(x.dtype)
@@ -51,34 +58,32 @@ def _bilinear_gather(buf, y, x, heights, widths, offsets):
     y_low = jnp.minimum(y.astype(jnp.int32), heights - 1)
     x_low = jnp.minimum(x.astype(jnp.int32), widths - 1)
     y_high = jnp.minimum(y_low + 1, heights - 1)
-    x_high = jnp.minimum(x_low + 1, widths - 1)
+    x_border = x_low >= widths - 1
 
     # When low index hits the top border, tv collapses the coordinate too.
     y = jnp.where(y_low >= heights - 1, y_low.astype(y.dtype), y)
-    x = jnp.where(x_low >= widths - 1, x_low.astype(x.dtype), x)
+    x = jnp.where(x_border, x_low.astype(x.dtype), x)
 
     ly = y - y_low.astype(y.dtype)
-    lx = x - x_low.astype(x.dtype)
+    lx = x - x_low.astype(x.dtype)  # == 0 at the x border -> col 1 weight 0
     hy = 1.0 - ly
     hx = 1.0 - lx
 
-    vmask = valid.astype(buf.dtype)
-    w1 = (hy * hx) * vmask
-    w2 = (hy * lx) * vmask
-    w3 = (ly * hx) * vmask
-    w4 = (ly * lx) * vmask
+    vmask = valid.astype(jnp.float32)
+    w_top = jnp.stack([hy * hx, hy * lx], axis=1) * vmask[:, None]  # [P, 2]
+    w_bot = jnp.stack([ly * hx, ly * lx], axis=1) * vmask[:, None]
 
-    i00 = offsets + y_low * widths + x_low
-    i01 = offsets + y_low * widths + x_high
-    i10 = offsets + y_high * widths + x_low
-    i11 = offsets + y_high * widths + x_high
+    i_top = offsets + y_low * widths + x_low
+    i_bot = offsets + y_high * widths + x_low
 
-    v = (
-        w1[:, None] * buf[i00]
-        + w2[:, None] * buf[i01]
-        + w3[:, None] * buf[i10]
-        + w4[:, None] * buf[i11]
-    )
+    c = buf.shape[1]
+
+    def take2(start):
+        return jax.lax.dynamic_slice(buf, (start, 0), (2, c))
+
+    top = jax.vmap(take2)(i_top)  # [P, 2, C]
+    bot = jax.vmap(take2)(i_bot)
+    v = (w_top[:, :, None] * top).sum(axis=1) + (w_bot[:, :, None] * bot).sum(axis=1)
     return v
 
 
@@ -146,7 +151,10 @@ def roi_align(
 ) -> jnp.ndarray:
     """Single-level RoIAlign. feature: [H, W, C]; rois: [R, 4] (xyxy)."""
     h, w, c = feature.shape
-    buf = feature.reshape(h * w, c)
+    # +1 zero row so the [2, C] corner slices never clamp at the buffer end.
+    buf = jnp.concatenate(
+        [feature.reshape(h * w, c), jnp.zeros((1, c), feature.dtype)], axis=0
+    )
     r = rois.shape[0]
     geom = jnp.full((r,), 0, jnp.int32)
     return _roi_align_flat(
@@ -217,8 +225,13 @@ def multiscale_roi_align(
     scales = infer_scales(shapes, image_size)
     k_min = int(-math.log2(scales[0]))
 
-    # Flatten all levels per image: [N, T, C]
-    flat = jnp.concatenate([f.reshape(n, -1, c) for f in features], axis=1)
+    # Flatten all levels per image: [N, T+1, C] (trailing zero row so the
+    # [2, C] corner slices never clamp at the buffer end).
+    flat = jnp.concatenate(
+        [f.reshape(n, -1, c) for f in features]
+        + [jnp.zeros((n, 1, c), features[0].dtype)],
+        axis=1,
+    )
 
     sizes = [h * w for h, w in shapes]
     offs = [0]

@@ -129,3 +129,22 @@ def test_noise_and_rain_transforms(rng):
     rainy, _ = T.Rain("light", rng=np.random.default_rng(0))(img, None)
     assert rainy.shape == (64, 96, 3)
     assert not np.allclose(rainy, img.astype(np.float32) / 255)
+
+
+def test_train_presets_run(rng):
+    img = rng.uniform(0, 255, (120, 160, 3)).astype(np.uint8)
+    base_target = {
+        "boxes": np.array([[10.0, 10.0, 60.0, 50.0], [70.0, 40.0, 140.0, 100.0]],
+                          np.float32),
+        "labels": np.array([1, 2]),
+    }
+    for policy in ("hflip", "lsj", "multiscale", "ssd", "ssdlite", "none"):
+        tf = T.train_transform(policy, np.random.default_rng(3))
+        out, t = tf(img.copy(), {k: v.copy() for k, v in base_target.items()})
+        assert out.ndim == 3 and out.shape[2] == 3
+        if t is not None and len(t.get("boxes", ())):
+            b = t["boxes"]
+            assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+            assert (b[:, [0, 2]] <= out.shape[1] + 1e-3).all()
+            assert (b[:, [1, 3]] <= out.shape[0] + 1e-3).all()
+            assert len(t["labels"]) == len(b)
