@@ -102,8 +102,39 @@ def get_args_parser(add_help: bool = True):
                             "mobilenet_v3_large_320_fpn"])
     p.add_argument("--fp32", action="store_true",
                    help="run compute in float32 instead of bfloat16")
+    p.add_argument("--profile", default="", type=str,
+                   help="write a jax.profiler trace to this directory "
+                        "(covers the first evaluation / training steps)")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+class _MaybeProfile:
+    """jax.profiler.trace context, tolerant of platforms without profiling."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.active = False
+
+    def __enter__(self):
+        if self.log_dir:
+            import jax
+
+            try:
+                jax.profiler.start_trace(self.log_dir)
+                self.active = True
+                print(f"[profile] tracing to {self.log_dir}")
+            except Exception as e:  # tunneled platforms may not support it
+                print(f"[profile] unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[profile] trace written to {self.log_dir}")
+        return False
 
 
 # --------------------------------------------------------------- helpers
@@ -364,9 +395,10 @@ def main(args):
     if args.test_only:
         ds, loader = make_loader("validation", training=False)
         eval_step = make_eval_step(config)
-        stats = compute_mean_avg_precision(eval_step, params, loader, ds,
-                                           rm_bg=args.rm_bg,
-                                           print_freq=args.print_freq)
+        with _MaybeProfile(args.profile):
+            stats = compute_mean_avg_precision(eval_step, params, loader, ds,
+                                               rm_bg=args.rm_bg,
+                                               print_freq=args.print_freq)
         return stats
 
     if args.extract_proposals_and_detections:

@@ -85,9 +85,31 @@ class CocoEvaluator:
             self.eval.add_detections(img_id, boxes[keep], scores[keep], labels[keep])
 
     def synchronize_between_processes(self, others: Optional[Sequence] = None):
-        """Single-host no-op; pass other processes' evaluators to merge."""
+        """Merge detections across JAX processes (utils.py:78-91 equivalent).
+
+        In multi-host runs each process evaluated its data shard; this
+        gathers every process's detection dict so all ranks compute the same
+        global metrics. ``others`` additionally merges explicit evaluators
+        (used by tests)."""
         if others:
             self.eval.merge_from([o.eval for o in others])
+        import jax
+
+        if jax.process_count() > 1:
+            from snn_automotive_object_detection_tpu.parallel.collectives import (
+                all_gather_objects,
+            )
+
+            all_dets = all_gather_objects(dict(self.eval.dets))
+            me = jax.process_index()
+            for p, dets in enumerate(all_dets):
+                if p == me:
+                    continue
+                for img_id, d in dets.items():
+                    s = self.eval.dets[img_id]
+                    s["boxes"].extend(d["boxes"])
+                    s["scores"].extend(d["scores"])
+                    s["labels"].extend(d["labels"])
 
     def accumulate(self):
         self.eval.evaluate()
