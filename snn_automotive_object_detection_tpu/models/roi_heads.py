@@ -103,8 +103,13 @@ def select_training_samples(
     boxes = all_boxes[idx]
     lab = jnp.where(sel_valid, labels[idx], 0)
     matched_boxes = gt_boxes[safe_idx[idx]]
-    # Safe encode: background/invalid rows regress to their own box (target 0).
-    ref = jnp.where((lab > 0)[:, None], matched_boxes, boxes)
+    # Safe encode: background/invalid rows regress to their own box
+    # (target 0), and INVALID slots (padding picked up by the fixed-size
+    # top_k) get a unit box — a zero-size box there would put NaNs into
+    # encode's log() and poison the masked loss *gradients* through where().
+    unit = jnp.asarray([0.0, 0.0, 1.0, 1.0], boxes.dtype)
+    boxes = jnp.where(sel_valid[:, None], boxes, unit)
+    ref = jnp.where(((lab > 0) & sel_valid)[:, None], matched_boxes, boxes)
     reg_targets = box_ops.encode_boxes(ref, boxes, cfg.bbox_reg_weights)
     return boxes, lab, reg_targets, sel_valid
 
