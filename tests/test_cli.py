@@ -129,3 +129,49 @@ def test_cli_train_one_epoch(mini_env):
     args2 = make_args(mini_env, "--epochs", "2", "--resume",
                       str(tmp / "out" / "checkpoint"), "--print-freq", "1")
     cli_train.main(args2)
+
+
+def test_cli_sweep_metrics(mini_env):
+    """T-step sweep CLI (metrics mode, one combo)."""
+    from cli import test_and_energy_eff as sweep
+
+    _, ds_yaml, model_yaml = mini_env
+    args = sweep.get_args_parser().parse_args([
+        "-d", ds_yaml, "--model-config", model_yaml, "--rpn-snn",
+        "--detector-snn", "--fp32", "-b", "2", "-j", "2",
+        "-o", "metrics", "-r1", "2", "-r2", "2", "-d1", "2", "-d2", "2",
+    ])
+    sweep.main(args)
+    tmp = mini_env[0]
+    out = tmp / "out" / "sweep_metrics.json"
+    assert out.exists()
+    rows = json.loads(out.read_text())
+    assert len(rows) == 1 and rows[0][:2] == [2, 2] and len(rows[0]) == 5
+
+
+def test_cli_noise_sweep(mini_env):
+    """Noise sweep CLI (two gaussian points)."""
+    from cli import noise_calculations as noise
+
+    _, ds_yaml, model_yaml = mini_env
+    args = noise.get_args_parser().parse_args([
+        "-d", ds_yaml, "--model-config", model_yaml, "--rpn-snn",
+        "--detector-snn", "--fp32", "-b", "2", "-j", "2",
+        "-t-rpn", "2", "-t-det", "2",
+        "--gaussian-max", "0.01", "--gaussian-step", "0.01",
+    ])
+    noise.main(args)
+    tmp = mini_env[0]
+    out = tmp / "out" / "noise_acc.json"
+    assert out.exists()
+    rows = json.loads(out.read_text())
+    assert len(rows) == 2
+    assert rows[0][0] == "gaussian" and rows[1][1] == 0.01
+
+
+def test_cli_plot_images(mini_env):
+    args = make_args(mini_env, "--save-images")
+    cli_train.main(args)
+    tmp = mini_env[0]
+    imgs = list((tmp / "out" / "pred_images").glob("*.png"))
+    assert len(imgs) >= 1
