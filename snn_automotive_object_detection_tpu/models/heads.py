@@ -107,6 +107,10 @@ def rpn_head_snn_apply(
     w_shared = params["shared_conv"]["w"]
     w_cls = params["conv_cls"]["w"]
     w_bbox = params["conv_bbox"]["w"]
+    # The two 1x1 readout convs and their leaky integrators are per-channel
+    # linear: fuse them into ONE conv + ONE LI over A + 4A channels (reads
+    # the spike tensor once per step instead of twice), split at the end.
+    w_out = jnp.concatenate([w_cls, w_bbox], axis=-1)
 
     # LIF state is carried in compute_dtype: the big [N, H, W, 256] membrane
     # and current tensors dominate HBM traffic at fp32 (the SNN step loop is
@@ -117,38 +121,37 @@ def rpn_head_snn_apply(
         x = feat.astype(sd)
         n, h, w, c = x.shape
         a = w_cls.shape[-1]
-        # Constant-current encoder in closed form: one int32 period map
-        # replaces the carried membrane (see snnf.encoder_periods).
+        # Constant-current encoder in closed form: one period map replaces
+        # the carried membrane (see snnf.encoder_periods).
         periods = snnf.encoder_periods(x) if fast_encoder else None
 
         def step(carry, t):
-            v_enc, lif, li_o, li_b, cnt_enc, cnt_shared = carry
+            v_enc, lif, li_out, cnt_enc, cnt_shared = carry
             if fast_encoder:
                 z = snnf.encoder_spikes_at(periods, t, sd)
             else:
                 z, v_enc = snnf.lif_current_encoder(x, v_enc)
             cur = _conv(z, w_shared).astype(sd)
             s, lif = snnf.lif_feed_forward_step(cur, lif)
-            mo, li_o = snnf.li_feed_forward_step(_conv(s, w_cls).astype(sd), li_o)
-            mb, li_b = snnf.li_feed_forward_step(_conv(s, w_bbox).astype(sd), li_b)
+            _, li_out = snnf.li_feed_forward_step(_conv(s, w_out).astype(sd), li_out)
             if collect_rates:
                 cnt_enc = cnt_enc + z.astype(jnp.float32).sum(axis=(1, 2, 3))
                 cnt_shared = cnt_shared + s.astype(jnp.float32).sum(axis=(1, 2, 3))
-            return (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), None
+            return (v_enc, lif, li_out, cnt_enc, cnt_shared), None
 
         carry0 = (
             jnp.zeros((1,), sd) if fast_encoder else jnp.zeros_like(x),
             snnf.zeros_lif_state(x.shape, sd),
-            snnf.zeros_li_state((n, h, w, a), sd),
-            snnf.zeros_li_state((n, h, w, 4 * a), sd),
+            snnf.zeros_li_state((n, h, w, 5 * a), sd),
             jnp.zeros((n,)),
             jnp.zeros((n,)),
         )
-        (v_enc, lif, li_o, li_b, cnt_enc, cnt_shared), _ = jax.lax.scan(
+        (v_enc, lif, li_out, cnt_enc, cnt_shared), _ = jax.lax.scan(
             step, carry0, jnp.arange(num_steps)
         )
-        logits.append(li_o.v.astype(jnp.float32))
-        bbox_reg.append(li_b.v.astype(jnp.float32))
+        mem = li_out.v.astype(jnp.float32)
+        logits.append(mem[..., :a])
+        bbox_reg.append(mem[..., a:])
         if collect_rates:
             numel = h * w * c
             rates["encoder"].append(cnt_enc / (num_steps * numel))
