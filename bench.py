@@ -28,6 +28,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    # snn (default) | ann | mobilenet_snn — the bench metric always reports
+    # the flagship snn config; the others are for ad-hoc measurement.
+    model = os.environ.get("BENCH_MODEL", "snn")
 
     from snn_automotive_object_detection_tpu.models.factory import (
         DetectorConfig,
@@ -35,8 +38,12 @@ def main():
     )
     from snn_automotive_object_detection_tpu.models.detector import detector_apply
 
-    config = DetectorConfig(num_classes=9, rpn_snn=True, detector_snn=True,
-                            t_rpn=8, t_det=12)
+    snn = model != "ann"
+    config = DetectorConfig(
+        num_classes=9, rpn_snn=snn, detector_snn=snn, t_rpn=8, t_det=12,
+        backbone="mobilenet_v3_large_fpn" if model == "mobilenet_snn"
+        else "resnet50_fpn",
+    )
     params = init_params(config, jax.random.PRNGKey(0))
     h, w = config.bucket
 

@@ -36,6 +36,13 @@ from snn_automotive_object_detection_tpu.snn import functional as snnf
 # ------------------------------------------------------------------ helpers
 
 
+def _precision(x):
+    # fp32 mode is the parity mode: force true fp32 MXU passes (the TPU
+    # default for f32 operands uses bf16-pass multiplication).
+    return (jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
 def _conv(x, w, stride=1):
     kh, kw = w.shape[0], w.shape[1]
     return jax.lax.conv_general_dilated(
@@ -44,12 +51,14 @@ def _conv(x, w, stride=1):
         window_strides=(stride, stride),
         padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],  # torch semantics
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_precision(x),
         preferred_element_type=jnp.float32,
     )
 
 
 def _linear(x, w, b=None):
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w.astype(x.dtype), precision=_precision(x),
+                preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b
     return y

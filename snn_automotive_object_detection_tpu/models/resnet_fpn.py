@@ -104,12 +104,17 @@ def _conv(x, w, stride=1, padding=None):
     if padding is None:
         kh, kw = w.shape[0], w.shape[1]
         padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    # fp32 mode is the parity mode: force true fp32 MXU passes (the TPU
+    # default for f32 operands is bf16-pass multiplication).
+    precision = (jax.lax.Precision.HIGHEST
+                 if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 

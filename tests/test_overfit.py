@@ -92,3 +92,51 @@ def test_ann_detector_overfits_one_image(rng):
     area_g = (gt_box[0, 2] - gt_box[0, 0]) * (gt_box[0, 3] - gt_box[0, 1])
     iou = inter / (area_d + area_g - inter)
     assert iou.max() > 0.5, iou.max()
+
+
+def test_snn_detector_loss_decreases(rng):
+    """SNN training path: surrogate-gradient losses must decrease."""
+    cfg = DetectorConfig(
+        num_classes=3, rpn_snn=True, detector_snn=True, t_rpn=3, t_det=4,
+        min_size=64, max_size=128,
+        rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32,
+                      pre_nms_top_n_test=64, post_nms_top_n_test=32),
+        roi=RoIConfig(batch_size_per_image=16, detections_per_img=5),
+        compute_dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["backbone"]["fpn"] = jax.tree_util.tree_map(
+        lambda x: x * 0.05, params["backbone"]["fpn"]
+    )
+    # Scale SNN head weights so the LIF chain spikes from step ~1.
+    params["rpn_head"] = jax.tree_util.tree_map(
+        lambda x: x * 30.0, params["rpn_head"]
+    )
+
+    img = rng.uniform(0.0, 0.3, (1, 64, 128, 3)).astype(np.float32)
+    img[0, 16:48, 40:88] = rng.uniform(0.7, 1.0, (32, 48, 3))
+    batch = {
+        "images": jnp.asarray(img),
+        "image_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "original_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray([[[40.0, 16.0, 88.0, 48.0]]]),
+            "labels": jnp.asarray([[1]], jnp.int32),
+            "valid": jnp.asarray([[True]]),
+        },
+    }
+    trainable, frozen = split_trainable(params)
+    optimizer = build_optimizer("AdamW", 1e-3)
+    opt_state = optimizer.init(trainable)
+    step = make_train_step(cfg, optimizer)
+    key = jax.random.PRNGKey(3)
+    hist = []
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        trainable, opt_state, losses = step(trainable, frozen, opt_state,
+                                            batch, sub)
+        hist.append(float(losses["loss_total"]))
+        assert np.isfinite(hist[-1]), (i, losses)
+    # Surrogate-gradient SNN learning is slower than ANN; require a
+    # clear downward trend rather than a large drop.
+    assert min(hist[-5:]) < max(hist[:5]) - 0.25, (hist[:5], hist[-5:])
