@@ -175,3 +175,18 @@ def test_cli_plot_images(mini_env):
     tmp = mini_env[0]
     imgs = list((tmp / "out" / "pred_images").glob("*.png"))
     assert len(imgs) >= 1
+
+
+def test_cli_load_torch_checkpoint(mini_env, tmp_path):
+    """--load-model with a reference-layout .pth exercises the converter
+    through the real CLI surface."""
+    torch = pytest.importorskip("torch")
+    from tools.torch_mirror import MirrorDetector
+
+    m = MirrorDetector(num_classes=4, t_rpn=2, t_det=2)
+    pth = tmp_path / "model_mini_SNN.pth"
+    torch.save({"model": m.state_dict(), "epoch": 3}, pth)
+
+    args = make_args(mini_env, "--test-only", "--load-model", str(pth))
+    stats = cli_train.main(args)
+    assert stats.shape == (12,)
