@@ -18,7 +18,7 @@ the loader converts to float [0,1] at the end.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ of image -> GT boxes/labels/areas/iscrowd works).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
 

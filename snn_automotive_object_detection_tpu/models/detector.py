@@ -20,7 +20,7 @@ One jit-compiled function per (bucket shape, mode); all shapes static.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,11 +33,7 @@ from snn_automotive_object_detection_tpu.models.transform import (
     normalize_images,
     rescale_boxes,
 )
-from snn_automotive_object_detection_tpu.ops.anchors import (
-    AnchorSpec,
-    fpn_feature_shapes,
-    generate_anchors,
-)
+from snn_automotive_object_detection_tpu.ops.anchors import generate_anchors
 
 
 def make_head_applies(config, params, collect_rates: bool):

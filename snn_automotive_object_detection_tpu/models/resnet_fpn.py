@@ -18,7 +18,6 @@ accumulates in fp32 via preferred_element_type).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List
 
 import jax

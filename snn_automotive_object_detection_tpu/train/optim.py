@@ -9,7 +9,7 @@ generalized_rcnn.py:93-94).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import optax
 

@@ -10,10 +10,7 @@ values returned are already globally averaged, replacing reduce_dict
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from snn_automotive_object_detection_tpu.models.detector import detector_apply

@@ -8,7 +8,7 @@ Covers the reference's visual-inspection paths: ``create_img_with_bboxes``
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
