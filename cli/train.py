@@ -346,10 +346,25 @@ def dump_hyperparams(path, args, config, params):
     (custom_utils.py:236-338 equivalent)."""
     import jax
 
+    from snn_automotive_object_detection_tpu.train.optim import split_trainable
+
     lines = [f"{k} = {v}" for k, v in sorted(vars(args).items())]
     lines.append(f"config = {config}")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     lines.append(f"total parameters = {n_params}")
+
+    # Frozen-module audit (custom_utils.py:236-284): which top-level modules
+    # train under the current freeze flags, with their parameter counts.
+    trainable, frozen = split_trainable(
+        params, getattr(args, "freeze_fpn", False),
+        getattr(args, "freeze_rpn", False),
+        getattr(args, "freeze_detector", False),
+    )
+    lines.append("--- module audit ---")
+    for status, tree in (("TRAINABLE", trainable), ("FROZEN", frozen)):
+        for name, sub in sorted(tree.items()):
+            n = sum(x.size for x in jax.tree_util.tree_leaves(sub))
+            lines.append(f"{status:9s} {name}: {n} params")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
