@@ -17,3 +17,23 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+_TOP_LEVEL = {
+    "create_model": "snn_automotive_object_detection_tpu.models.factory",
+    "DetectorConfig": "snn_automotive_object_detection_tpu.models.factory",
+    "init_params": "snn_automotive_object_detection_tpu.models.factory",
+    "detector_apply": "snn_automotive_object_detection_tpu.models.detector",
+    "CocoEvaluator": "snn_automotive_object_detection_tpu.evaluation",
+    "create_dataset": "snn_automotive_object_detection_tpu.data",
+    "DetectionLoader": "snn_automotive_object_detection_tpu.data.loader",
+    "load_dataset_config": "snn_automotive_object_detection_tpu.utils.config",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax on bare package import)."""
+    if name in _TOP_LEVEL:
+        import importlib
+
+        return getattr(importlib.import_module(_TOP_LEVEL[name]), name)
+    raise AttributeError(name)
