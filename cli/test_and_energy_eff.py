@@ -46,8 +46,6 @@ def get_args_parser():
 
 
 def main(args):
-    import dataclasses
-
     from snn_automotive_object_detection_tpu.train.steps import make_eval_step
 
     results = []
@@ -55,15 +53,15 @@ def main(args):
     if args.save_name:
         out_name += f"_{args.save_name}"
 
-    base_args = args
     out_path = None
     for t_rpn in range(args.t_rpn_min, args.t_rpn_max + 1):
         for t_det in range(args.t_det_min, args.t_det_max + 1):
-            args.num_steps_rpn = t_rpn
-            args.num_steps_detector = t_det
-            cfg, out_dir, config, params, make_loader = build_everything(args)
+            combo = argparse.Namespace(**{**vars(args),
+                                          "num_steps_rpn": t_rpn,
+                                          "num_steps_detector": t_det})
+            cfg, out_dir, config, params, make_loader = build_everything(combo)
             out_path = out_path or os.path.join(out_dir, out_name + ".json")
-            params = load_weights(args, config, params)
+            params = load_weights(combo, config, params)
             ds, loader = make_loader("validation", training=False)
 
             if args.option == "metrics":

@@ -72,6 +72,8 @@ def get_args_parser(add_help: bool = True):
     p.add_argument("--save-images-option", dest="save_images_option",
                    default="imgs_and_preds",
                    choices=["imgs_and_preds", "one_img_preds"])
+    p.add_argument("--max-plot-images", dest="max_plot_images", type=int,
+                   default=50, help="cap on --plot-images/--save-images panels")
     p.add_argument("--freeze-fpn", dest="freeze_fpn", action="store_true")
     p.add_argument("--freeze-rpn", dest="freeze_rpn", action="store_true")
     p.add_argument("--freeze-detector", dest="freeze_detector", action="store_true")
@@ -201,6 +203,10 @@ def build_everything(args):
             seed=12,
             num_workers=args.workers,
             shard=(rank, world),
+            # Static batch shapes mean a partial final batch would be padded
+            # by repeating images, which would bias gradients; drop it for
+            # training (shuffle rotates which images are dropped per epoch).
+            drop_last=training,
         )
         return ds, loader
 
@@ -270,6 +276,7 @@ def compute_mean_avg_precision(eval_step, params, loader, dataset, rm_bg=False,
     print(f"Time spent generating detections: "
           f"{str(datetime.timedelta(seconds=int(dt)))} "
           f"({n_images / dt:.3f} images/sec)")
+    logger.synchronize_between_processes()  # utils.py:146-148
     evaluator.synchronize_between_processes()
     evaluator.accumulate()
     return evaluator.summarize()
@@ -474,7 +481,7 @@ def main(args):
                     pred, gt, names, args.save_images_option,
                 )
                 count += 1
-            if count >= 50:
+            if count >= args.max_plot_images:
                 break
         print(f"wrote {count} panels to {img_dir}")
         return None
@@ -542,6 +549,7 @@ def main(args):
                 writer.add_scalar(f"Loss/MiniBatch/{k}", v, global_step)
             global_step += 1
 
+        logger.synchronize_between_processes()
         for k, m in logger.meters.items():
             writer.add_scalar(f"Loss/Epochs/{k}", m.global_avg, epoch)
 
@@ -552,13 +560,14 @@ def main(args):
                 jax.device_get(trainable), jax.device_get(frozen)
             )
             name = f"model_{args.save_name or cfg['dataset']}_{epoch}"
-            save_checkpoint(os.path.join(out_dir, name), {"params": merged})
+            save_checkpoint(os.path.join(out_dir, name), {"params": merged},
+                            args=vars(args))
             save_checkpoint(os.path.join(out_dir, "checkpoint"), {
                 "trainable": jax.device_get(trainable),
                 "frozen": jax.device_get(frozen),
                 "opt_state": jax.device_get(opt_state),
                 "epoch": epoch,
-            })
+            }, args=vars(args))
 
         if epoch % args.validate_every_n_epochs == 0:
             vlogger = MetricLogger()
@@ -569,6 +578,7 @@ def main(args):
                 db = shard_batch(to_device_batch(batch, True), mesh)
                 vl = val_step(merged, db, sub)
                 vlogger.update(**{k: float(v) for k, v in vl.items()})
+            vlogger.synchronize_between_processes()
             for k, m in vlogger.meters.items():
                 writer.add_scalar(f"Loss/Epochs/val_{k}", m.global_avg, epoch)
 

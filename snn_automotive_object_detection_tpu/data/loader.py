@@ -115,6 +115,11 @@ class DetectionLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         rank, world = self.shard
+        if world > 1 and n % world:
+            # DistributedSampler-style wrap-around padding: every process
+            # must yield the SAME number of batches or multi-host collectives
+            # desynchronize (torch DistributedSampler pads the same way).
+            idx = np.concatenate([idx, idx[: world - n % world]])
         return idx[rank::world].tolist()
 
     def __len__(self):

@@ -105,10 +105,11 @@ def rpn_head_snn_apply(
     features: list of [N, H_l, W_l, C] maps. Returns (objectness list
     [N, H_l, W_l, A], bbox list [N, H_l, W_l, 4A], rates or None).
 
-    rates (when collected): dict with per-level arrays of shape [N] —
-    "shared" (the spiking conv layer consumed by the energy analysis,
-    train.py:482-488), "encoder", "obj", "bbox" (LI memb. means kept for
-    completeness like rpn.py:164-165).
+    rates (when collected): dict with per-level arrays of shape [N]:
+    "shared" (the spiking conv layer the energy analysis consumes,
+    train.py:482-488) and "encoder". The LI readout layers do not spike, so
+    no rate is collected for them (the reference's rpn.py:164-165 records
+    membrane means it never uses).
     """
     logits, bbox_reg = [], []
     rates: Dict[str, List[jnp.ndarray]] = {"encoder": [], "shared": []}

@@ -34,8 +34,8 @@ class AnchorSpec:
 
 def _cell_anchors(sizes: Sequence[float], ratios: Sequence[float]) -> np.ndarray:
     """Zero-centered base anchors [A, 4], torchvision ``generate_anchors``:
-    h = sqrt(ratio) * size, w = size / sqrt(ratio), then rounded... (tv keeps
-    float and does NOT round)."""
+    h = sqrt(ratio) * size, w = size / sqrt(ratio); torchvision 0.13 rounds
+    the base anchors (`base_anchors.round()`), matched here."""
     sizes = np.asarray(sizes, dtype=np.float32)
     ratios = np.asarray(ratios, dtype=np.float32)
     h_ratios = np.sqrt(ratios)

@@ -61,10 +61,21 @@ def data_parallel_mesh(devices=None) -> Mesh:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
-    """Place a host batch with the leading (batch) axis split over the mesh."""
+    """Place a host batch with the leading (batch) axis split over the mesh.
+
+    Single process: a plain device_put split over local devices. Multi
+    process: each host holds only its local rows
+    (batch_size * local_device_count), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the SPMD replacement for the
+    reference's per-rank DistributedSampler batches (train.py:594-607)."""
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         spec = P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

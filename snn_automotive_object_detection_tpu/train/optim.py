@@ -27,23 +27,30 @@ def build_schedule(
     milestones: MultiStepLR epochs (train.py lr-decay-milestones)
     step_size/gamma: StepLR (lr-decay-step / lr-decay-rate)
     constant_factor: ConstantLR — multiply lr by the factor during the FIRST
-      epoch only (train.py constant_lr_scheduler semantics with total_iters=1)
+      epoch only (train.py constant_lr_scheduler semantics with total_iters=1).
+      The reference CHAINS ConstantLR on top of whichever base scheduler was
+      selected (train.py:748-755), so the factor composes multiplicatively
+      with MultiStepLR/StepLR here rather than being mutually exclusive.
     """
     if milestones:
         boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
-        return optax.piecewise_constant_schedule(base_lr, boundaries)
-    if step_size:
-        def sched(count):
+        base = optax.piecewise_constant_schedule(base_lr, boundaries)
+    elif step_size:
+        def base(count):
             epoch = count // steps_per_epoch
             return base_lr * (gamma ** (epoch // step_size))
-        return sched
+    else:
+        def base(count):
+            return base_lr
     if constant_factor:
         def sched(count):
-            epoch = count // steps_per_epoch
             import jax.numpy as jnp
-            return jnp.where(epoch < 1, base_lr * constant_factor, base_lr)
+            epoch = count // steps_per_epoch
+            return base(count) * jnp.where(epoch < 1, constant_factor, 1.0)
         return sched
-    return base_lr
+    if not milestones and not step_size:
+        return base_lr
+    return base
 
 
 def build_optimizer(

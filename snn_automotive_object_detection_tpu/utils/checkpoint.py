@@ -8,7 +8,8 @@ Covers the reference's checkpoint story (/root/reference/train.py:650-675,
   * --resume: restores params + optimizer + epoch
   * --load-model: weights only, tolerant of missing/extra keys
     (strict=False), with the bbox_pred surgery for --only-one-bbox
-    (train.py:669-673: slice the first 4 regression outputs)
+    (train.py:669-675: pop a shape-mismatched bbox_pred so the fresh
+    4-output init survives the lenient load)
   * released torchvision-layout .pth checkpoints convert via
     ``convert_torch_state_dict`` (torch only used to unpickle)
 
@@ -39,14 +40,38 @@ def _ckpt(path: str):
     return ocp.PyTreeCheckpointer(), os.path.abspath(path)
 
 
-def save_checkpoint(path: str, state: Dict[str, Any], overwrite: bool = True):
-    """state: any pytree, e.g. {"params", "opt_state", "epoch", "args"}."""
+def save_checkpoint(path: str, state: Dict[str, Any], overwrite: bool = True,
+                    args: Optional[Dict[str, Any]] = None):
+    """state: any pytree, e.g. {"params", "opt_state", "epoch"}.
+
+    args: run flags saved alongside the pytree as ``args.json`` inside the
+    checkpoint directory — the reference stores them in the checkpoint dict
+    (train.py:923-949) so a run is reproducible from its checkpoint alone."""
     from snn_automotive_object_detection_tpu.parallel.mesh import is_main_process
 
     if not is_main_process():  # save_on_master (utils.py:263-265)
         return
     ckptr, path = _ckpt(path)
     ckptr.save(path, state, force=overwrite)
+    if args is not None:
+        import json
+
+        with open(os.path.join(path, "args.json"), "w") as f:
+            json.dump({k: v for k, v in args.items()
+                       if isinstance(v, (str, int, float, bool, list, tuple,
+                                         type(None)))},
+                      f, indent=1, default=str)
+
+
+def load_checkpoint_args(path: str) -> Optional[Dict[str, Any]]:
+    """Read back the args.json written by save_checkpoint (if present)."""
+    import json
+
+    p = os.path.join(os.path.abspath(path), "args.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None):
@@ -228,9 +253,11 @@ def load_torch_checkpoint(path: str, rpn_snn: bool = True,
     sd = obj.get("model", obj) if isinstance(obj, dict) else obj
     params = convert_torch_state_dict(sd, rpn_snn, detector_snn)
     if only_one_bbox and detector_snn:
-        # --only-one-bbox surgery (train.py:669-673): keep the first 4
-        # regression outputs of a per-class predictor.
+        # --only-one-bbox surgery (train.py:669-675): the reference POPS the
+        # per-class bbox_pred weight from the checkpoint and relies on
+        # strict=False, so the model keeps its fresh 4-output init. Dropping
+        # the leaf here makes load_weights_lenient do the same.
         w = params["box_head"]["bbox_pred"]["w"]
-        if w.shape[1] > 4:
-            params["box_head"]["bbox_pred"]["w"] = w[:, :4]
+        if w.shape[1] != 4:
+            del params["box_head"]["bbox_pred"]
     return params

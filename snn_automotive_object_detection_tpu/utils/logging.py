@@ -4,7 +4,9 @@ Equivalent of the reference's ``SmoothedValue`` / ``MetricLogger``
 (/root/reference/utils.py:19-208): windowed medians/averages, an iteration
 generator printing ETA + iter/data time, and TensorBoard scalar logging
 (train.py:131-146) with a JSONL fallback when tensorboard isn't importable.
-Cross-process metric sync is a jnp psum by the caller, not a collective here.
+``synchronize_between_processes`` mirrors the reference's
+SmoothedValue.synchronize_between_processes (utils.py:37-49): count/total are
+all-reduced across hosts so printed global averages are identical everywhere.
 """
 
 from __future__ import annotations
@@ -49,11 +51,35 @@ class SmoothedValue:
     def value(self) -> float:
         return self.deque[-1] if self.deque else 0.0
 
+    def synchronize_between_processes(self):
+        """All-reduce count/total across hosts (reference utils.py:37-49).
+        The windowed deque stays rank-local, like the reference's."""
+        total, count = _allreduce_sum([self.total, float(self.count)])
+        self.total = float(total)
+        self.count = int(count)
+
     def __str__(self):
         return self.fmt.format(
             median=self.median, avg=self.avg, global_avg=self.global_avg,
             value=self.value,
         )
+
+
+def _allreduce_sum(values):
+    """Sum a small list of floats over all JAX processes (no-op single
+    process). Uses multihost_utils.process_allgather — the collective the
+    reference built from dist.all_reduce (utils.py:44-48)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+    import numpy as np
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, np.float64), tiled=False
+    )
+    return np.asarray(gathered).reshape(jax.process_count(), -1).sum(axis=0)
 
 
 class MetricLogger:
@@ -69,6 +95,11 @@ class MetricLogger:
         if attr in self.meters:
             return self.meters[attr]
         raise AttributeError(attr)
+
+    def synchronize_between_processes(self):
+        """Sync every meter's global stats across hosts (utils.py:146-148)."""
+        for m in self.meters.values():
+            m.synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())

@@ -96,3 +96,43 @@ def test_lenient_load_keeps_mismatched(rng):
         np.asarray(merged["rpn_head"]["conv_cls"]["w"]),
         np.asarray(params["rpn_head"]["conv_cls"]["w"]),
     )
+
+
+def test_only_one_bbox_pops_mismatched_bbox_pred(tmp_path):
+    """--only-one-bbox surgery (train.py:669-675): a per-class bbox_pred is
+    POPPED from the checkpoint so the model keeps its fresh 4-output init."""
+    from tools.torch_mirror import MirrorDetector
+    from snn_automotive_object_detection_tpu.utils.checkpoint import (
+        load_torch_checkpoint,
+    )
+
+    torch.manual_seed(2)
+    mirror = MirrorDetector(num_classes=5)  # per-class: bbox_pred out = 20
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": mirror.state_dict()}, path)
+
+    loaded = load_torch_checkpoint(str(path), only_one_bbox=True)
+    assert "bbox_pred" not in loaded["box_head"]  # popped, not sliced
+
+    cfg = DetectorConfig(num_classes=5, rpn_snn=True, detector_snn=True,
+                         only_one_bbox=True, min_size=64, max_size=128,
+                         compute_dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    merged = load_weights_lenient(params, loaded, verbose=False)
+    # fresh 4-output init survives; other leaves come from the checkpoint
+    assert merged["box_head"]["bbox_pred"]["w"].shape[1] == 4
+    np.testing.assert_array_equal(
+        np.asarray(merged["box_head"]["bbox_pred"]["w"]),
+        np.asarray(params["box_head"]["bbox_pred"]["w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["box_head"]["fc7"]["w"]),
+        np.asarray(loaded["box_head"]["fc7"]["w"]),
+    )
+
+    # A matching (4-output) checkpoint is NOT popped.
+    mirror4 = MirrorDetector(num_classes=5, only_one_bbox=True)
+    path4 = tmp_path / "ckpt4.pth"
+    torch.save({"model": mirror4.state_dict()}, path4)
+    loaded4 = load_torch_checkpoint(str(path4), only_one_bbox=True)
+    assert loaded4["box_head"]["bbox_pred"]["w"].shape[1] == 4

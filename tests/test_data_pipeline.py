@@ -90,14 +90,18 @@ def test_loader_batches_fixed_shape(coco_dir):
 
 
 def test_loader_sharding(coco_dir):
+    # DistributedSampler semantics: every shard yields the SAME number of
+    # batches (wrap-around padding), and together they cover the dataset.
     img_dir, ann_file = coco_dir
     ds = CocoDataset(img_dir, ann_file)
     l0 = DetectionLoader(ds, 1, (128, 256), 128, 256, shard=(0, 2))
     l1 = DetectionLoader(ds, 1, (128, 256), 128, 256, shard=(1, 2))
     ids0 = [b["image_ids"][0] for b in l0]
     ids1 = [b["image_ids"][0] for b in l1]
-    assert not (set(ids0) & set(ids1))
-    assert len(ids0) + len(ids1) == 3
+    assert len(ids0) == len(ids1) == len(l0) == len(l1)  # equal step counts
+    assert set(ids0) | set(ids1) == {b["image_ids"][0]
+                                     for b in DetectionLoader(
+                                         ds, 1, (128, 256), 128, 256)}
 
 
 def test_resize_shape_matches_torchvision_rule():

@@ -39,6 +39,24 @@ def test_constant_lr_first_epoch():
     assert float(sched(4)) == 1.0
 
 
+def test_constant_lr_composes_with_multistep():
+    # The reference chains ConstantLR on top of the base scheduler
+    # (train.py:748-755): factor applies in epoch 0, milestones still decay.
+    sched = build_schedule(1.0, steps_per_epoch=10, milestones=[2],
+                           gamma=0.5, constant_factor=0.1)
+    assert abs(float(sched(0)) - 0.1) < 1e-6   # epoch 0: factored
+    assert abs(float(sched(10)) - 1.0) < 1e-6  # epoch 1: base lr
+    assert abs(float(sched(20)) - 0.5) < 1e-6  # epoch 2: milestone decay
+
+
+def test_constant_lr_composes_with_steplr():
+    sched = build_schedule(1.0, steps_per_epoch=5, step_size=3, gamma=0.1,
+                           constant_factor=0.5)
+    assert abs(float(sched(0)) - 0.5) < 1e-6
+    assert abs(float(sched(5)) - 1.0) < 1e-6
+    assert abs(float(sched(15)) - 0.1) < 1e-6
+
+
 def test_split_and_merge_roundtrip():
     cfg = DetectorConfig(num_classes=4, min_size=64, max_size=128)
     params = init_params(cfg, jax.random.PRNGKey(0))

@@ -174,12 +174,19 @@ class RPNHeadSNNMirror(nn.Module):
         self.conv_cls = nn.Conv2d(c, a, 1, bias=False)
         self.conv_bbox = nn.Conv2d(c, 4 * a, 1, bias=False)
 
-    def forward(self, feats):
+    def forward(self, feats, collect_rates: bool = False):
+        """Returns (logits, bbox[, rates]). rates follows the reference's
+        spike-rate forward (rpn.py:123-174): per level, per image, the mean
+        over neurons of (sum over T of spikes) / T — here for the encoder and
+        the spiking shared conv (the layers the energy analysis consumes)."""
         logits, bbox = [], []
+        rates = {"encoder": [], "shared": []}
         for x in feats:
             v = torch.zeros_like(x)
             st = (torch.zeros_like(x), torch.zeros_like(x))
             li_o = li_b = None
+            cnt_enc = torch.zeros(x.shape[0])
+            cnt_shared = torch.zeros(x.shape[0])
             for _ in range(self.num_steps):
                 z, v = lif_current_encoder(x, v)
                 s, st = lif_step(self.shared_conv(z), st)
@@ -190,24 +197,43 @@ class RPNHeadSNNMirror(nn.Module):
                     li_b = (torch.zeros_like(cb), torch.zeros_like(cb))
                 mo, li_o = li_step(co, li_o)
                 mb, li_b = li_step(cb, li_b)
+                if collect_rates:
+                    cnt_enc += z.flatten(1).sum(1)
+                    cnt_shared += s.flatten(1).sum(1)
             logits.append(mo)
             bbox.append(mb)
+            if collect_rates:
+                numel = x[0].numel()
+                rates["encoder"].append(cnt_enc / (self.num_steps * numel))
+                rates["shared"].append(cnt_shared / (self.num_steps * numel))
+        if collect_rates:
+            rates = {k: torch.stack(v) for k, v in rates.items()}  # [L, N]
+            return logits, bbox, rates
         return logits, bbox
 
 
 class BoxHeadSNNMirror(nn.Module):
-    def __init__(self, cin=256 * 49, rep=1024, num_classes=9, num_steps=12):
+    def __init__(self, cin=256 * 49, rep=1024, num_classes=9, num_steps=12,
+                 only_one_bbox=False):
         super().__init__()
         self.num_steps = num_steps
+        self.rep = rep
         self.fc6 = nn.Linear(cin, rep, bias=False)
         self.fc7 = nn.Linear(rep, rep, bias=False)
         self.cls_score = nn.Linear(rep, num_classes, bias=False)
-        self.bbox_pred = nn.Linear(rep, num_classes * 4, bias=False)
+        self.bbox_pred = nn.Linear(
+            rep, 4 if only_one_bbox else num_classes * 4, bias=False
+        )
 
-    def forward(self, x):
+    def forward(self, x, collect_rates: bool = False):
+        """Returns (cls, bbox[, rates]); rates per RoI for encoder/fc6/fc7,
+        the reference's convention (faster_rcnn.py:557-570)."""
         x = x.flatten(1)
         v = torch.zeros_like(x)
         st6 = st7 = li_c = li_b = None
+        cnt_enc = torch.zeros(x.shape[0])
+        cnt6 = torch.zeros(x.shape[0])
+        cnt7 = torch.zeros(x.shape[0])
         for _ in range(self.num_steps):
             z, v = lif_current_encoder(x, v)
             c6 = self.fc6(z)
@@ -225,6 +251,17 @@ class BoxHeadSNNMirror(nn.Module):
                 li_b = (torch.zeros_like(cb), torch.zeros_like(cb))
             mc, li_c = li_step(cc, li_c)
             mb, li_b = li_step(cb, li_b)
+            if collect_rates:
+                cnt_enc += z.sum(1)
+                cnt6 += s6.sum(1)
+                cnt7 += s7.sum(1)
+        if collect_rates:
+            rates = {
+                "encoder": cnt_enc / (self.num_steps * x.shape[1]),
+                "fc6": cnt6 / (self.num_steps * self.rep),
+                "fc7": cnt7 / (self.num_steps * self.rep),
+            }
+            return mc, mb, rates
         return mc, mb
 
 
@@ -357,7 +394,7 @@ def roi_align_ms(feats, boxes, image_size, out_size=7, sampling=2):
 class MirrorDetector(nn.Module):
     """Single-image eval pipeline matching the reference's SNN detector."""
 
-    def __init__(self, num_classes=9, t_rpn=8, t_det=12,
+    def __init__(self, num_classes=9, t_rpn=8, t_det=12, only_one_bbox=False,
                  mean=(0.2869, 0.3251, 0.2839), std=(0.1870, 0.1902, 0.1872)):
         super().__init__()
         self.backbone = Backbone()
@@ -365,8 +402,10 @@ class MirrorDetector(nn.Module):
         self.rpn.head = RPNHeadSNNMirror(num_steps=t_rpn)
         self.roi_heads = nn.Module()
         self.roi_heads.box_head_and_predictor = BoxHeadSNNMirror(
-            num_classes=num_classes, num_steps=t_det
+            num_classes=num_classes, num_steps=t_det,
+            only_one_bbox=only_one_bbox,
         )
+        self.only_one_bbox = only_one_bbox
         self.mean = torch.tensor(mean).view(1, 3, 1, 1)
         self.std = torch.tensor(std).view(1, 3, 1, 1)
         self.pre_nms = 1000
@@ -377,11 +416,18 @@ class MirrorDetector(nn.Module):
         self.detections_per_img = 100
 
     @torch.no_grad()
-    def forward(self, image: torch.Tensor, image_size: Tuple[int, int]):
+    def forward(self, image: torch.Tensor, image_size: Tuple[int, int],
+                collect_rates: bool = False):
         """image: [1, 3, H, W] float 0..1 (already resized+padded)."""
         x = (image - self.mean) / self.std
         feats = self.backbone(x)
-        obj_maps, reg_maps = self.rpn.head(feats)
+        rpn_rates = det_rates = None
+        if collect_rates:
+            obj_maps, reg_maps, rpn_rates = self.rpn.head(
+                feats, collect_rates=True
+            )
+        else:
+            obj_maps, reg_maps = self.rpn.head(feats)
 
         shapes = [(f.shape[-2], f.shape[-1]) for f in feats]
         anchors = anchors_for(shapes, (image.shape[-2], image.shape[-1]))
@@ -413,11 +459,20 @@ class MirrorDetector(nn.Module):
         proposals = boxes[keep]
 
         pooled = roi_align_ms(feats[:4], proposals, (image.shape[-2], image.shape[-1]))
-        cls_logits, box_reg = self.roi_heads.box_head_and_predictor(pooled)
+        if collect_rates:
+            cls_logits, box_reg, det_rates = self.roi_heads.box_head_and_predictor(
+                pooled, collect_rates=True
+            )
+        else:
+            cls_logits, box_reg = self.roi_heads.box_head_and_predictor(pooled)
 
         pred = decode(box_reg, proposals, (10.0, 10.0, 5.0, 5.0)).reshape(
             len(proposals), -1, 4
         )
+        if self.only_one_bbox:
+            # Single regression slot broadcast across classes (PARITY.md;
+            # reference roi_heads.py postprocess with a [R, 4] box tensor).
+            pred = pred.expand(-1, cls_logits.shape[1], 4).contiguous()
         pred[..., 0::2] = pred[..., 0::2].clamp(0, w)
         pred[..., 1::2] = pred[..., 1::2].clamp(0, h)
         prob = F.softmax(cls_logits, -1)
@@ -431,9 +486,13 @@ class MirrorDetector(nn.Module):
         ok = ((fb[:, 2] - fb[:, 0]) >= 1e-2) & ((fb[:, 3] - fb[:, 1]) >= 1e-2)
         fb, fs, fl = fb[ok], fs[ok], fl[ok]
         keep = batched_nms(fb, fs, fl, self.box_nms_thresh)[: self.detections_per_img]
-        return {
+        out = {
             "boxes": fb[keep], "scores": fs[keep], "labels": fl[keep],
             "proposals": proposals, "all_scores": prob, "all_boxes": pred,
             "pre_nms_proposals": pre_nms_proposals,
             "pre_nms_scores": pre_nms_scores,
         }
+        if collect_rates:
+            out["rpn_rates"] = rpn_rates
+            out["det_rates"] = det_rates
+        return out
