@@ -385,7 +385,6 @@ def main(args):
 
     from snn_automotive_object_detection_tpu.parallel.mesh import (
         data_parallel_mesh,
-        is_main_process,
         replicate,
         shard_batch,
     )
@@ -553,21 +552,22 @@ def main(args):
         for k, m in logger.meters.items():
             writer.add_scalar(f"Loss/Epochs/{k}", m.global_avg, epoch)
 
-        if is_main_process():
-            # Per-epoch weights-only checkpoint (for --load-model) plus a
-            # rolling full training state (for --resume) — train.py:923-949.
-            merged = merge_params(
-                jax.device_get(trainable), jax.device_get(frozen)
-            )
-            name = f"model_{args.save_name or cfg['dataset']}_{epoch}"
-            save_checkpoint(os.path.join(out_dir, name), {"params": merged},
-                            args=vars(args))
-            save_checkpoint(os.path.join(out_dir, "checkpoint"), {
-                "trainable": jax.device_get(trainable),
-                "frozen": jax.device_get(frozen),
-                "opt_state": jax.device_get(opt_state),
-                "epoch": epoch,
-            }, args=vars(args))
+        # Per-epoch weights-only checkpoint (for --load-model) plus a rolling
+        # full training state (for --resume) — train.py:923-949. Orbax saves
+        # are collective: every process must call them (rank gating would
+        # deadlock multi-host; save_checkpoint handles rank-0-only metadata).
+        merged = merge_params(
+            jax.device_get(trainable), jax.device_get(frozen)
+        )
+        name = f"model_{args.save_name or cfg['dataset']}_{epoch}"
+        save_checkpoint(os.path.join(out_dir, name), {"params": merged},
+                        args=vars(args))
+        save_checkpoint(os.path.join(out_dir, "checkpoint"), {
+            "trainable": jax.device_get(trainable),
+            "frozen": jax.device_get(frozen),
+            "opt_state": jax.device_get(opt_state),
+            "epoch": epoch,
+        }, args=vars(args))
 
         if epoch % args.validate_every_n_epochs == 0:
             vlogger = MetricLogger()

@@ -46,14 +46,18 @@ def save_checkpoint(path: str, state: Dict[str, Any], overwrite: bool = True,
 
     args: run flags saved alongside the pytree as ``args.json`` inside the
     checkpoint directory — the reference stores them in the checkpoint dict
-    (train.py:923-949) so a run is reproducible from its checkpoint alone."""
+    (train.py:923-949) so a run is reproducible from its checkpoint alone.
+
+    Unlike the reference's save_on_master (utils.py:263-265), this must be
+    called on EVERY process: orbax's save is itself a collective (it
+    sync_global_processes internally and lets only process 0 write shared
+    metadata), so gating it by rank would deadlock multi-host runs — caught
+    by tests/test_distributed.py."""
     from snn_automotive_object_detection_tpu.parallel.mesh import is_main_process
 
-    if not is_main_process():  # save_on_master (utils.py:263-265)
-        return
     ckptr, path = _ckpt(path)
     ckptr.save(path, state, force=overwrite)
-    if args is not None:
+    if args is not None and is_main_process():
         import json
 
         with open(os.path.join(path, "args.json"), "w") as f:
