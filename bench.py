@@ -45,6 +45,19 @@ def main():
         else "resnet50_fpn",
     )
     params = init_params(config, jax.random.PRNGKey(0))
+    # Realistic score distributions: BENCH_WEIGHTS=<orbax dir> loads trained
+    # weights (e.g. from tools/make_bench_weights.py) so the NMS/postprocess
+    # workload matches a trained checkpoint instead of random init.
+    weights = os.environ.get("BENCH_WEIGHTS")
+    if weights:
+        from snn_automotive_object_detection_tpu.utils.checkpoint import (
+            load_checkpoint,
+            load_weights_lenient,
+        )
+
+        params = load_weights_lenient(
+            params, load_checkpoint(os.path.abspath(weights))["params"]
+        )
     h, w = config.bucket
 
     @jax.jit

@@ -36,13 +36,33 @@ from snn_automotive_object_detection_tpu.models.transform import (
 from snn_automotive_object_detection_tpu.ops.anchors import generate_anchors
 
 
-def make_head_applies(config, params, collect_rates: bool):
+def make_head_applies(config, params, collect_rates: bool, training: bool = False):
     """Bind head apply functions for the configured (SNN / ANN) variants."""
     dtype = config.compute_dtype
 
     fast_enc = getattr(config, "fast_encoder", False)
+    # Fused Pallas RPN head (snn/pallas_rpn.py): inference-only (no gradient
+    # rule) and TPU-only (interpret mode is far too slow for real shapes).
+    # Rate collection stays on the XLA path.
+    use_pallas_rpn = (
+        getattr(config, "rpn_pallas", True)
+        and config.rpn_snn
+        and not training
+        and not collect_rates
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    )
 
-    if config.rpn_snn:
+    if config.rpn_snn and use_pallas_rpn:
+        from snn_automotive_object_detection_tpu.snn.pallas_rpn import (
+            rpn_head_snn_pallas_apply,
+        )
+
+        def rpn_head_apply(features):
+            return rpn_head_snn_pallas_apply(
+                params["rpn_head"], features, config.t_rpn, state_dtype=dtype,
+            )
+    elif config.rpn_snn:
         def rpn_head_apply(features):
             return heads.rpn_head_snn_apply(
                 params["rpn_head"], features, config.t_rpn,
@@ -54,11 +74,16 @@ def make_head_applies(config, params, collect_rates: bool):
             return heads.rpn_head_ann_apply(params["rpn_head"], features, dtype)
 
     if config.detector_snn:
+        # Inference uses the stacked-T fc6 GEMM (heads._fastrcnn_snn_precomputed)
+        # — identical spike trains, but the fc6 weight is read once instead of
+        # once per step. Training keeps the step encoder (its surrogate grads).
+        pre_fc6 = not training and getattr(config, "det_precompute_fc6", True)
+
         def box_head_apply(flat):
             return heads.fastrcnn_snn_apply(
                 params["box_head"], flat, config.t_det,
                 collect_rates=collect_rates, compute_dtype=dtype,
-                fast_encoder=fast_enc,
+                fast_encoder=fast_enc, precompute_fc6=pre_fc6,
             )
     else:
         def box_head_apply(flat):
@@ -115,7 +140,8 @@ def detector_apply(
     anchors = jnp.concatenate(anchor_levels, axis=0)
 
     rpn_head_apply, box_head_apply = make_head_applies(params=params, config=config,
-                                                       collect_rates=collect_rates)
+                                                       collect_rates=collect_rates,
+                                                       training=training)
 
     key_rpn = key_roi = None
     if training:

@@ -53,6 +53,12 @@ class DetectorConfig:
     # default: at XLA level the period map + integer mod cost more than the
     # saved membrane traffic; it pays off inside fused Pallas kernels.
     fast_encoder: bool = False
+    # Fused Pallas RPN head at inference (snn/pallas_rpn.py) — used on TPU
+    # only; training and rate collection always take the XLA scan path.
+    rpn_pallas: bool = True
+    # Stacked-T fc6 GEMM for the spiking box head at inference (identical
+    # spike trains; the 25.7 MB fc6 weight is read once, not per step).
+    det_precompute_fc6: bool = True
 
     @property
     def bucket(self) -> Tuple[int, int]:

@@ -229,11 +229,19 @@ def fastrcnn_snn_apply(
     collect_rates: bool = False,
     compute_dtype=jnp.bfloat16,
     fast_encoder: bool = False,
+    precompute_fc6: bool = False,
 ):
     """Spiking box head. x: [R, C*7*7] flattened RoI features.
 
     Returns (class_logits [R, num_classes], bbox_deltas [R, n_reg], rates).
     rates: {"encoder", "fc6", "fc7"}: [R] mean spikes/neuron/step.
+
+    precompute_fc6 (inference): the encoder spike train is known a priori in
+    closed form, so fc6 input currents for ALL T steps are ONE
+    [T*R, d_in] @ [d_in, rep] GEMM — the 25.7 MB fc6 weight is read once
+    instead of per step, and the encoder membrane never round-trips HBM.
+    The sequential LIF/fc7/readout scan then consumes the precomputed
+    currents. Spike trains are identical to fast_encoder=True.
     """
     sd = compute_dtype  # see rpn_head_snn_apply: states carried in bf16
     x = x.astype(sd)
@@ -246,6 +254,11 @@ def fastrcnn_snn_apply(
     w7 = params["fc7"]["w"]
     wc = params["cls_score"]["w"]
     wb = params["bbox_pred"]["w"]
+
+    if precompute_fc6:
+        return _fastrcnn_snn_precomputed(
+            x, w6, w7, wc, wb, num_steps, collect_rates, sd
+        )
 
     periods = snnf.encoder_periods(x) if fast_encoder else None
 
@@ -283,6 +296,53 @@ def fastrcnn_snn_apply(
     if collect_rates:
         rates = {
             "encoder": c_enc / (num_steps * d_in),
+            "fc6": c6 / (num_steps * rep),
+            "fc7": c7 / (num_steps * rep),
+        }
+    return li_c.v.astype(jnp.float32), li_b.v.astype(jnp.float32), rates
+
+
+def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates, sd):
+    """Stacked-T fc6 formulation of the spiking box head (see
+    fastrcnn_snn_apply docstring). Spike semantics identical to the
+    fast_encoder path; only the GEMM schedule differs."""
+    r, d_in = x.shape
+    rep = w6.shape[1]
+    n_cls = wc.shape[1]
+    n_reg = wb.shape[1]
+
+    periods = snnf.encoder_periods(x)  # [R, d_in] uint8
+    t_idx = (jnp.arange(num_steps) + 1).astype(jnp.uint8)
+    z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0).astype(sd)
+    cur6_all = _linear(z_all.reshape(num_steps * r, d_in), w6)
+    cur6_all = cur6_all.astype(sd).reshape(num_steps, r, rep)
+
+    def step(carry, cur6):
+        l6, l7, li_c, li_b, c6, c7 = carry
+        s6, l6 = snnf.lif_feed_forward_step(cur6, l6)
+        s7, l7 = snnf.lif_feed_forward_step(_linear(s6, w7).astype(sd), l7)
+        _, li_c = snnf.li_feed_forward_step(_linear(s7, wc).astype(sd), li_c)
+        _, li_b = snnf.li_feed_forward_step(_linear(s7, wb).astype(sd), li_b)
+        if collect_rates:
+            c6 = c6 + s6.astype(jnp.float32).sum(axis=1)
+            c7 = c7 + s7.astype(jnp.float32).sum(axis=1)
+        return (l6, l7, li_c, li_b, c6, c7), None
+
+    carry0 = (
+        snnf.zeros_lif_state((r, rep), sd),
+        snnf.zeros_lif_state((r, rep), sd),
+        snnf.zeros_li_state((r, n_cls), sd),
+        snnf.zeros_li_state((r, n_reg), sd),
+        jnp.zeros((r,)),
+        jnp.zeros((r,)),
+    )
+    (l6, l7, li_c, li_b, c6, c7), _ = jax.lax.scan(step, carry0, cur6_all)
+
+    rates = None
+    if collect_rates:
+        rates = {
+            "encoder": z_all.astype(jnp.float32).sum(axis=(0, 2))
+            / (num_steps * d_in),
             "fc6": c6 / (num_steps * rep),
             "fc7": c7 / (num_steps * rep),
         }

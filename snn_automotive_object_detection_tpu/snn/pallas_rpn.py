@@ -1,0 +1,267 @@
+"""Fused Pallas TPU kernel for the spiking RPN head (inference path).
+
+Implements the full T_rpn-step unroll of the reference's ``RPNHeadSNN``
+(/root/reference/rpn.py:33-121) for ONE FPN level inside one kernel:
+
+  constant-current encoder -> 3x3 conv (256->256, bias-free) -> LIFCell
+    -> fused 1x1 readout conv (256 -> A+4A) -> leaky integrators
+
+The XLA ``lax.scan`` path (models/heads.py rpn_head_snn_apply) round-trips
+every LIF/LI state tensor through HBM once per timestep; at the flagship
+operating point (768x1536, T=8, batch 2) that made the RPN head the largest
+stage (~28 of 73 ms). Here everything is VMEM-resident across all T steps:
+
+  * Encoder spikes are generated from the CLOSED-FORM spike period
+    (snn/functional.py encoder_periods — exact for the constant-current
+    usage in rpn.py:101). The kernel carries a per-element countdown in
+    bfloat16 (integers <= 255 are exact in bf16), so a step's spike plane
+    costs zero HBM traffic and no integer vector ops.
+  * The 3x3 conv is computed as 9 shifted [M, C] @ [C, C] matmuls over a
+    row-flattened spatial layout. Each image row is padded to W_pad lanes
+    (>= W + 2, multiple of 16) whose extra columns carry the "never spikes"
+    period; flattening (y, x) -> y * W_pad + x makes every conv tap a
+    contiguous sublane-shifted slice. Tap wrap-around only ever lands in
+    padding columns, and the 1x1 readout has no spatial mixing, so padding
+    garbage never contaminates interior outputs (they are sliced away on
+    the XLA side).
+  * LIF / LI state, the 3x3 weights (1.2 MB bf16) and the fused 1x1 readout
+    weights all stay in VMEM; the grid iterates (image, row-tile) pairs and
+    Pallas double-buffers the period-map blocks.
+
+Numerics match the production XLA path (bf16 state, f32 MXU accumulation,
+same norse-0.0.7 update ordering as snn/functional.py). The kernel is
+forward-only; training uses the differentiable scan in models/heads.py.
+A float32 variant exists for parity testing (state_dtype=jnp.float32).
+
+Spike-rate collection intentionally stays on the XLA path (the energy
+analysis CLIs are not throughput-critical).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snn_automotive_object_detection_tpu.snn import functional as snnf
+
+# Flat-row base offset: keeps every tap slice in-bounds and the dx=0 taps
+# sublane-aligned (16 = bf16 sublane tile).
+_BASE = 16
+# VMEM budget for choosing the row-tile height (leaves headroom for Mosaic
+# temporaries in the ~16 MB/core VMEM).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+# (dy, dx) tap order must match the [3, 3, C, C] HWIO weight layout.
+_TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _vmem_bytes(th: int, w_pad: int, c: int, sz: int) -> int:
+    """Estimated VMEM use for a row-tile height of ``th`` (see kernel)."""
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
+    m = th * w_pad
+    per_blocks = 2 * s_alloc * c * sz      # pipelined period blocks
+    cz = 2 * s_alloc * c * sz              # countdown + spike scratch
+    lif = 2 * m * c * sz                   # v, i
+    acc = m * c * 4                        # f32 accumulator
+    li = 2 * m * 128 * sz                  # readout v, i
+    out = 2 * m * 128 * sz                 # pipelined output blocks
+    s_tmp = m * c * sz                     # spike temp feeding the 1x1 GEMM
+    w = (9 * c * c + 128 * c) * sz
+    return per_blocks + cz + lif + acc + li + out + s_tmp + w
+
+
+def _choose_tile_h(h: int, w_pad: int, c: int, sz: int) -> int:
+    """Largest row-tile height that fits the VMEM budget (capped at the
+    padded image height so tiny upper FPN levels stay one tile)."""
+    cap = _round_up(h, 2)
+    for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2):
+        if th <= cap and _vmem_bytes(th, w_pad, c, sz) <= _VMEM_BUDGET:
+            return th
+    return 2
+
+
+def _rpn_level_kernel(
+    per_ref,    # [1, S_alloc, C] state_dtype — encoder periods (flat rows)
+    w9_ref,     # [9, C, C]       state_dtype — 3x3 conv taps (dy-major)
+    wout_ref,   # [C, 128]        state_dtype — fused 1x1 readout (padded)
+    out_ref,    # [1, M, 128]     state_dtype — final LI membrane
+    cnt_ref,    # [S_alloc, C]  countdown to next encoder spike
+    z_ref,      # [S_alloc, C]  this step's encoder spikes
+    v_ref,      # [M, C]        LIF membrane
+    i_ref,      # [M, C]        LIF synaptic current
+    acc_ref,    # [M, C] f32    conv accumulator
+    liv_ref,    # [M, 128]      LI membrane
+    lii_ref,    # [M, 128]      LI synaptic current
+    *,
+    num_steps: int,
+    m_rows: int,
+    w_pad: int,
+):
+    dt = snnf.DT
+    tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
+    tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
+    sd = v_ref.dtype
+    # Threshold as the XLA path sees it: rounded to the state dtype first
+    # (the f32 compare below then matches the bf16 `v_dec - v_th > 0`).
+    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(sd)))
+
+    cnt_ref[:] = per_ref[0]
+    for ref in (v_ref, i_ref, liv_ref, lii_ref):
+        ref[:] = jnp.zeros_like(ref)
+
+    def step(_t, _):
+        # Encoder: countdown-to-spike form of the closed-form period
+        # (z_t == ((t+1) mod period == 0); integers <= 255 exact in bf16).
+        # The compare runs in f32 — v5e Mosaic lacks bf16 vector compares,
+        # and the bf16->f32 extension is exact so semantics are unchanged.
+        # (A compare-free max/fma formulation measured ~70% slower.)
+        c = cnt_ref[:] - 1.0
+        spike = c.astype(jnp.float32) < 0.5
+        cnt_ref[:] = jnp.where(spike, per_ref[0], c)
+        z_ref[:] = spike.astype(sd)
+
+        # 3x3 conv as 9 shifted matmuls on the row-flattened layout.
+        for k, (dy, dx) in enumerate(_TAPS):
+            start = _BASE + (1 + dy) * w_pad + dx
+            part = jnp.dot(
+                z_ref[start:start + m_rows, :],
+                w9_ref[k],
+                preferred_element_type=jnp.float32,
+            )
+            if k == 0:
+                acc_ref[:] = part
+            else:
+                acc_ref[:] = acc_ref[:] + part
+
+        # LIF step (functional.py lif_feed_forward_step ordering).
+        v_dec = v_ref[:] + tau_mem * (i_ref[:] - v_ref[:])
+        i_dec = i_ref[:] - tau_syn * i_ref[:]
+        s = (v_dec.astype(jnp.float32) - v_th > 0).astype(sd)
+        v_ref[:] = (1.0 - s) * v_dec
+        i_ref[:] = i_dec + acc_ref[:].astype(sd)
+
+        # Fused 1x1 readout + LI step (functional.py li_feed_forward_step).
+        cur = jnp.dot(s, wout_ref[:], preferred_element_type=jnp.float32)
+        i_jump = lii_ref[:] + cur.astype(sd)
+        liv_ref[:] = liv_ref[:] + tau_mem * (i_jump - liv_ref[:])
+        lii_ref[:] = i_jump - tau_syn * i_jump
+        return ()
+
+    jax.lax.fori_loop(0, num_steps, step, ())
+    out_ref[0] = liv_ref[:]
+
+
+def _run_level(
+    feat: jnp.ndarray,
+    w9: jnp.ndarray,
+    wout: jnp.ndarray,
+    num_steps: int,
+    num_anchors: int,
+    state_dtype,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One FPN level through the fused kernel.
+
+    feat: [N, H, W, C]; w9: [9, C, C]; wout: [C, 128] (A + 4A used cols).
+    Returns (objectness [N, H, W, A] f32, bbox [N, H, W, 4A] f32).
+    """
+    n, h, w, c = feat.shape
+    sz = jnp.dtype(state_dtype).itemsize
+    w_pad = _round_up(w + 2, 16)
+    th = _choose_tile_h(h, w_pad, c, sz)
+    n_th = -(-h // th)
+    m_rows = th * w_pad
+    s_halo = (th + 2) * w_pad
+    s_alloc = _round_up(_BASE + s_halo + w_pad + 1, 16)
+
+    # Period map; 255 == "never spikes within T" (requires T <= 254).
+    periods = snnf.encoder_periods(feat)  # [N, H, W, C] uint8
+    pp = jnp.pad(
+        periods,
+        ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
+        constant_values=255,
+    )
+    # Overlapping row windows (1-row conv halo top/bottom) -> flat tiles.
+    rows = jnp.arange(n_th)[:, None] * th + jnp.arange(th + 2)[None, :]
+    tiles = pp[:, rows]                                  # [N, n_th, th+2, Wp, C]
+    flat = tiles.reshape(n * n_th, s_halo, c)
+    flat = jnp.pad(
+        flat, ((0, 0), (_BASE, s_alloc - _BASE - s_halo), (0, 0)),
+        constant_values=255,
+    ).astype(state_dtype)
+
+    kernel = functools.partial(
+        _rpn_level_kernel, num_steps=num_steps, m_rows=m_rows, w_pad=w_pad
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * n_th,),
+        in_specs=[
+            pl.BlockSpec((1, s_alloc, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m_rows, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s_alloc, c), state_dtype),
+            pltpu.VMEM((s_alloc, c), state_dtype),
+            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.VMEM((m_rows, 128), state_dtype),
+            pltpu.VMEM((m_rows, 128), state_dtype),
+        ],
+        interpret=interpret,
+    )(flat, w9.astype(state_dtype), wout.astype(state_dtype))
+
+    a = num_anchors
+    mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a]
+    mem = mem.reshape(n, n_th * th, w, 5 * a)[:, :h].astype(jnp.float32)
+    return mem[..., :a], mem[..., a:]
+
+
+def rpn_head_snn_pallas_apply(
+    params,
+    features: List[jnp.ndarray],
+    num_steps: int,
+    state_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], None]:
+    """Drop-in inference replacement for heads.rpn_head_snn_apply.
+
+    Same outputs (objectness / bbox lists); rates are not collected (use the
+    XLA path for the energy analysis). Forward-only — no gradient rule.
+    """
+    assert num_steps <= 200, "period-255 encoder padding requires T <= 200"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w_shared = params["shared_conv"]["w"]          # [3, 3, C, C]
+    c = w_shared.shape[2]
+    a = params["conv_cls"]["w"].shape[-1]
+    w9 = w_shared.reshape(9, c, c)
+    wout = jnp.concatenate(
+        [params["conv_cls"]["w"], params["conv_bbox"]["w"]], axis=-1
+    ).reshape(c, 5 * a)
+    wout = jnp.pad(wout, ((0, 0), (0, 128 - 5 * a)))
+
+    logits, bbox_reg = [], []
+    for feat in features:
+        o, b = _run_level(feat, w9, wout, num_steps, a, state_dtype, interpret)
+        logits.append(o)
+        bbox_reg.append(b)
+    return logits, bbox_reg, None

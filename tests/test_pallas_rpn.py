@@ -1,0 +1,89 @@
+"""Fused Pallas RPN-head kernel vs the XLA scan path (interpret mode on CPU).
+
+The kernel (snn/pallas_rpn.py) must reproduce heads.rpn_head_snn_apply with
+fast_encoder=True: identical encoder spike trains (both derive from the
+closed-form period map) and the same LIF/LI update ordering. In f32 the only
+differences are matmul reduction order, so membranes match tightly; in bf16,
+borderline membranes can flip a spike, so tolerances are spike-scale.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from snn_automotive_object_detection_tpu.models import heads
+from snn_automotive_object_detection_tpu.snn.pallas_rpn import (
+    rpn_head_snn_pallas_apply,
+)
+
+
+def _feats(rng, shapes, c=256, n=2):
+    return [
+        jnp.asarray(rng.uniform(0, 2.0, (n, h, w, c)).astype(np.float32))
+        for (h, w) in shapes
+    ]
+
+
+def test_pallas_rpn_matches_xla_f32(rng):
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(0), 256, 3)
+    # Odd sizes: H=10 not a multiple of the row tile, W=18 forces column
+    # padding; second level is tiny (tile cap at padded image height).
+    feats = _feats(rng, [(10, 18), (5, 9)])
+
+    o_ref, b_ref, _ = heads.rpn_head_snn_apply(
+        params, feats, 8, compute_dtype=jnp.float32, fast_encoder=True
+    )
+    o_k, b_k, rates = rpn_head_snn_pallas_apply(
+        params, feats, 8, state_dtype=jnp.float32, interpret=True
+    )
+    assert rates is None
+    for l in range(len(feats)):
+        assert o_k[l].shape == o_ref[l].shape
+        assert b_k[l].shape == b_ref[l].shape
+        np.testing.assert_allclose(
+            np.asarray(o_k[l]), np.asarray(o_ref[l]), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_k[l]), np.asarray(b_ref[l]), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_pallas_rpn_bf16_close_to_xla_bf16(rng):
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(1), 256, 3)
+    feats = _feats(rng, [(8, 16)])
+
+    o_ref, b_ref, _ = heads.rpn_head_snn_apply(
+        params, feats, 8, compute_dtype=jnp.bfloat16, fast_encoder=True
+    )
+    o_k, b_k, _ = rpn_head_snn_pallas_apply(
+        params, feats, 8, state_dtype=jnp.bfloat16, interpret=True
+    )
+    # bf16 rounding-order differences can flip borderline spikes; membranes
+    # agree to spike scale (logit scale here is ~5e-2 with init weights).
+    np.testing.assert_allclose(
+        np.asarray(o_k[0]), np.asarray(o_ref[0]), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_k[0]), np.asarray(b_ref[0]), atol=0.05
+    )
+
+
+def test_pallas_rpn_mobilenet_anchor_count(rng):
+    # 15 anchors/location (5 sizes x 3 ratios) -> 75 output channels, still
+    # within the kernel's 128-lane readout.
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(2), 256, 15)
+    feats = _feats(rng, [(6, 10)])
+    o_ref, b_ref, _ = heads.rpn_head_snn_apply(
+        params, feats, 4, compute_dtype=jnp.float32, fast_encoder=True
+    )
+    o_k, b_k, _ = rpn_head_snn_pallas_apply(
+        params, feats, 4, state_dtype=jnp.float32, interpret=True
+    )
+    assert o_k[0].shape == (2, 6, 10, 15) and b_k[0].shape == (2, 6, 10, 60)
+    np.testing.assert_allclose(
+        np.asarray(o_k[0]), np.asarray(o_ref[0]), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_k[0]), np.asarray(b_ref[0]), atol=1e-5, rtol=1e-5
+    )

@@ -113,3 +113,23 @@ def test_only_one_bbox_output_shape():
                                            compute_dtype=jnp.float32)
     assert cls.shape == (3, 4)
     assert reg.shape == (3, 4)
+
+
+def test_fastrcnn_snn_precompute_fc6_exact(rng):
+    """The stacked-T fc6 GEMM path (inference schedule) must reproduce the
+    fast-encoder step path bit-for-bit in f32: identical spike trains and
+    identical per-step arithmetic, only the GEMM batching differs."""
+    params = heads.init_fastrcnn_snn(jax.random.PRNGKey(7), 128, 32, 5)
+    x = jnp.asarray(rng.uniform(0, 2.5, (17, 128)).astype(np.float32))
+    a = heads.fastrcnn_snn_apply(params, x, 12, collect_rates=True,
+                                 compute_dtype=jnp.float32, fast_encoder=True)
+    b = heads.fastrcnn_snn_apply(params, x, 12, collect_rates=True,
+                                 compute_dtype=jnp.float32,
+                                 precompute_fc6=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-6, rtol=1e-6)
+    for k in a[2]:
+        np.testing.assert_allclose(np.asarray(a[2][k]), np.asarray(b[2][k]),
+                                   atol=1e-6)
