@@ -56,9 +56,12 @@ class DetectorConfig:
     # Fused Pallas RPN head at inference (snn/pallas_rpn.py) — used on TPU
     # only; training and rate collection always take the XLA scan path.
     rpn_pallas: bool = True
-    # Stacked-T fc6 GEMM for the spiking box head at inference (identical
-    # spike trains; the 25.7 MB fc6 weight is read once, not per step).
-    det_precompute_fc6: bool = True
+    # Stacked-T fc6 GEMM for the spiking box head (identical spike trains;
+    # the 25.7 MB fc6 weight is read once, not per step). MEASURED SLOWER on
+    # v5e (23.0 vs 7.6 ms at R=2048, T=12): the uint8 period-map mods and
+    # z_all materialisation outweigh the saved weight re-streaming — the
+    # step-encoder scan is already at its HBM roofline. Kept off.
+    det_precompute_fc6: bool = False
 
     @property
     def bucket(self) -> Tuple[int, int]:

@@ -16,9 +16,14 @@ Semantics reproduced exactly (aligned=False convention):
 
 Multiscale strategy (TPU-first): instead of running the align once per FPN
 level with masks (4x waste), all levels of one image are flattened row-major
-into a single [sum_l H_l*W_l, C] buffer and every RoI gathers from its own
-level via per-RoI (offset, width, height, scale) scalars. One pass, 16 row
-gathers of [R*49, C] each, fused with the weighted sum by XLA.
+into a single [sum_l H_l*W_l, 2C] buffer where each row is channel-paired
+with the row one line BELOW it (same level, y+1). A single contiguous
+[2, 2C] slice per sample point then covers all four bilinear corners
+(x_low/x_low+1 are adjacent rows; y_low/y_high live in the two channel
+halves), so the whole align is ONE row gather per sample point — gathers
+are the bottleneck, not bytes. Border cases never read the wrong level:
+torchvision's collapse rules zero the offending weight (lx == 0 at the x
+border, ly == 0 at the y border), and out-of-level neighbours are finite.
 """
 
 from __future__ import annotations
@@ -33,19 +38,22 @@ from snn_automotive_object_detection_tpu.ops.boxes import box_area
 
 
 def _bilinear_gather(buf, y, x, heights, widths, offsets):
-    """Gather bilinear-interpolated rows from a flattened multi-level buffer.
+    """Gather bilinear-interpolated rows from a paired multi-level buffer.
 
-    buf:     [T, C] flattened feature rows (row-major per level), with one
-             trailing zero row so 2-row slices never clamp
+    buf:     [T, 2C] flattened feature rows (row-major per level), where
+             buf[i] = [row_i || row_(i+W)] (the row one line below in the
+             same level, zeros past the level's last line); one trailing
+             zero row so 2-row slices never clamp
     y, x:    [P] float sample coordinates (level-local)
     heights, widths, offsets: [P] int32 per-point level geometry
     Returns [P, C] interpolated values (zero outside the tv border rule).
 
-    The two x-adjacent corners are fetched as ONE contiguous [2, C] slice
-    (x_low, x_low+1 are neighbouring rows in the row-major layout), halving
-    the number of random HBM accesses vs four independent row gathers; the
-    x_high == x_low border case is handled by zeroing the second column's
-    weight (lx == 0 there).
+    All FOUR bilinear corners come from ONE contiguous [2, 2C] slice:
+    x_low / x_low+1 are the two adjacent rows, y_low / y_low+1 the two
+    channel halves. Border collapses are weight-zeroed: lx == 0 at the x
+    border kills row 1, ly == 0 at the y border kills the second half (so
+    the "row below" being another level's data — or the zero pad — is
+    multiplied by zero and never contaminates the result).
     """
     hf = heights.astype(y.dtype)
     wf = widths.astype(x.dtype)
@@ -57,34 +65,44 @@ def _bilinear_gather(buf, y, x, heights, widths, offsets):
 
     y_low = jnp.minimum(y.astype(jnp.int32), heights - 1)
     x_low = jnp.minimum(x.astype(jnp.int32), widths - 1)
-    y_high = jnp.minimum(y_low + 1, heights - 1)
     x_border = x_low >= widths - 1
 
-    # When low index hits the top border, tv collapses the coordinate too.
+    # When low index hits the top border, tv collapses the coordinate too
+    # (y_high = min(y_low + 1, H - 1) == y_low there -> ly becomes 0).
     y = jnp.where(y_low >= heights - 1, y_low.astype(y.dtype), y)
     x = jnp.where(x_border, x_low.astype(x.dtype), x)
 
-    ly = y - y_low.astype(y.dtype)
-    lx = x - x_low.astype(x.dtype)  # == 0 at the x border -> col 1 weight 0
+    ly = y - y_low.astype(y.dtype)  # == 0 at the y border -> bottom half 0
+    lx = x - x_low.astype(x.dtype)  # == 0 at the x border -> row 1 weight 0
     hy = 1.0 - ly
     hx = 1.0 - lx
 
     vmask = valid.astype(jnp.float32)
-    w_top = jnp.stack([hy * hx, hy * lx], axis=1) * vmask[:, None]  # [P, 2]
+    # [P, 2] weights for the two gathered rows, per y-half.
+    w_top = jnp.stack([hy * hx, hy * lx], axis=1) * vmask[:, None]
     w_bot = jnp.stack([ly * hx, ly * lx], axis=1) * vmask[:, None]
 
-    i_top = offsets + y_low * widths + x_low
-    i_bot = offsets + y_high * widths + x_low
+    idx = offsets + y_low * widths + x_low
 
-    c = buf.shape[1]
+    c2 = buf.shape[1]
+    c = c2 // 2
 
     def take2(start):
-        return jax.lax.dynamic_slice(buf, (start, 0), (2, c))
+        return jax.lax.dynamic_slice(buf, (start, 0), (2, c2))
 
-    top = jax.vmap(take2)(i_top)  # [P, 2, C]
-    bot = jax.vmap(take2)(i_bot)
+    g = jax.vmap(take2)(idx)  # [P, 2, 2C]
+    top = g[:, :, :c]         # (y_low ; x_low / x_low+1)
+    bot = g[:, :, c:]         # (y_low+1 ; x_low / x_low+1)
     v = (w_top[:, :, None] * top).sum(axis=1) + (w_bot[:, :, None] * bot).sum(axis=1)
     return v
+
+
+def _pair_rows_with_below(f: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H*W, 2C] where row i is paired with row i+W
+    (the pixel one line below; zeros past the last line)."""
+    n, h, w, c = f.shape
+    down = jnp.concatenate([f[:, 1:], jnp.zeros_like(f[:, :1])], axis=1)
+    return jnp.concatenate([f, down], axis=-1).reshape(n, h * w, 2 * c)
 
 
 def _roi_align_flat(
@@ -151,9 +169,10 @@ def roi_align(
 ) -> jnp.ndarray:
     """Single-level RoIAlign. feature: [H, W, C]; rois: [R, 4] (xyxy)."""
     h, w, c = feature.shape
-    # +1 zero row so the [2, C] corner slices never clamp at the buffer end.
+    # +1 zero row so the [2, 2C] corner slices never clamp at the buffer end.
     buf = jnp.concatenate(
-        [feature.reshape(h * w, c), jnp.zeros((1, c), feature.dtype)], axis=0
+        [_pair_rows_with_below(feature[None])[0],
+         jnp.zeros((1, 2 * c), feature.dtype)], axis=0
     )
     r = rois.shape[0]
     geom = jnp.full((r,), 0, jnp.int32)
@@ -225,11 +244,11 @@ def multiscale_roi_align(
     scales = infer_scales(shapes, image_size)
     k_min = int(-math.log2(scales[0]))
 
-    # Flatten all levels per image: [N, T+1, C] (trailing zero row so the
-    # [2, C] corner slices never clamp at the buffer end).
+    # Flatten all levels per image into the paired layout: [N, T+1, 2C]
+    # (trailing zero row so the [2, 2C] corner slices never clamp).
     flat = jnp.concatenate(
-        [f.reshape(n, -1, c) for f in features]
-        + [jnp.zeros((n, 1, c), features[0].dtype)],
+        [_pair_rows_with_below(f) for f in features]
+        + [jnp.zeros((n, 1, 2 * c), features[0].dtype)],
         axis=1,
     )
 

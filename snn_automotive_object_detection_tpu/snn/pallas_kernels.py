@@ -16,13 +16,31 @@ encoder period map stream per step.
 The grid iterates RoI tiles of R_TILE rows; within a tile a fori_loop runs
 the T steps. fp32 accumulation on the MXU, bf16 storage.
 
-STATUS (measured on v5e, R=2048, T=12): 50.5 ms vs 34.8 ms for the XLA
-``lax.scan`` path in models/heads.py. The ~16 MB VMEM budget cannot hold the
-25.7 MB fc6 weight, so each RoI tile re-streams it T times (16 tiles x 12
-steps x 25.7 MB ~ 4.9 GB) — more traffic than XLA's z-materialising scan
-(~1.5 GB). The kernel is therefore NOT the default; it documents the fused
-design and becomes profitable on parts with larger VMEM or with a
-time-outer grid once Pallas exposes cross-grid-step carried state cleanly.
+STATUS — RETIRED as a design note (round 2 verdict follow-up). Measured on
+v5e at R=2048, T=12:
+
+  * this kernel:                       50.5 ms
+  * XLA ``lax.scan`` (bf16 state):      7.6 ms   <- production path
+  * stacked-T fc6 GEMM reformulation:  23.0 ms   (heads.fastrcnn_snn_apply
+    precompute_fc6=True — fc6 for all T steps as ONE [T*R, K] @ [K, H]
+    GEMM, weight read once)
+
+Why each loses to the scan:
+  * Here the ~16 MB VMEM cannot hold the 25.7 MB fc6 weight, so each RoI
+    tile re-streams it T times (16 tiles x 12 steps x 25.7 MB ~ 4.9 GB) —
+    more traffic than the scan's entire footprint (~2.7 GB: z planes,
+    encoder membrane, weights).
+  * The weight-stationary stacked-GEMM variant removes the re-streaming
+    (w6 read once + z_all 1.2 GB) but pays ~15 ms in uint8 period-map mods
+    and z_all materialisation; the closed-form encoder is a net loss at XLA
+    level on this part (same finding as the RPN head's fast_encoder flag).
+  * The scan itself sits at its HBM roofline: ~2.7 GB / 819 GB/s + 3.2 ms
+    of fc6 MXU time ~= 7 ms, which is what it measures. There is no
+    headroom left worth a fused kernel at these shapes.
+
+Contrast with the RPN head, where the fused Pallas kernel (pallas_rpn.py)
+DOES win ~1.8x: its weights fit VMEM entirely and the closed-form encoder
+runs as an in-VMEM countdown rather than per-step XLA mods.
 """
 
 from __future__ import annotations
