@@ -43,6 +43,14 @@ def _precision(x):
             if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
+# In bf16 mode the conv/GEMM output dtype is bf16: XLA still accumulates in
+# f32 on the MXU and rounds once on output — identical values to requesting
+# an f32 output and casting (which every call site did), but the backward
+# pass gets dtype-consistent operands (an f32 preferred_element_type makes
+# the cotangent f32 while the saved operands are bf16, and
+# conv_general_dilated's transpose rejects the mix).
+
+
 def _conv(x, w, stride=1):
     kh, kw = w.shape[0], w.shape[1]
     return jax.lax.conv_general_dilated(
@@ -52,13 +60,13 @@ def _conv(x, w, stride=1):
         padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],  # torch semantics
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_precision(x),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
 
 
 def _linear(x, w, b=None):
     y = jnp.dot(x, w.astype(x.dtype), precision=_precision(x),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=x.dtype)
     if b is not None:
         y = y + b
     return y
