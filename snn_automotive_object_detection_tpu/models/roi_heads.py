@@ -314,7 +314,17 @@ def roi_heads_forward(
         losses = {"loss_classifier": loss_cls, "loss_box_reg": loss_box}
         return {"rates": rates}, losses
 
-    pooled = multiscale_roi_align(features, proposals, image_bucket)
+    # Eval path: the Pallas patch kernel (ops/pallas_roi_align.py) when on
+    # TPU at the standard 7x7/sr=2 operating point — exact semantics with a
+    # whole-batch gather fallback for pathological RoI shapes.
+    if jax.default_backend() == "tpu":
+        from snn_automotive_object_detection_tpu.ops.pallas_roi_align import (
+            multiscale_roi_align_pallas,
+        )
+
+        pooled = multiscale_roi_align_pallas(features, proposals, image_bucket)
+    else:
+        pooled = multiscale_roi_align(features, proposals, image_bucket)
     flat = pooled.reshape(n * p, -1)
     class_logits, box_regression, rates = box_head_apply(flat)
     class_logits = class_logits.reshape(n, p, -1)
