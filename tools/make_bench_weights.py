@@ -83,13 +83,13 @@ def main():
 
     h, w = config.bucket
     rng = np.random.default_rng(args.seed)
-    # Fixed 4-batch pool -> genuine overfitting.
-    pool = [synthetic_batch(rng, args.batch, h, w) for _ in range(4)]
-
-    key = jax.random.PRNGKey(args.seed + 1)
-    for i in range(args.steps):
-        images, boxes, labels, valid = pool[i % len(pool)]
-        batch = {
+    # Fixed 4-batch pool -> genuine overfitting. Uploaded to the device
+    # ONCE: re-feeding host arrays every step costs seconds per step over
+    # the tunneled-TPU link.
+    pool = []
+    for _ in range(4):
+        images, boxes, labels, valid = synthetic_batch(rng, args.batch, h, w)
+        pool.append({
             "images": jnp.asarray(images),
             "image_sizes": jnp.asarray([[h, w]] * args.batch, jnp.int32),
             "original_sizes": jnp.asarray([[h, w]] * args.batch, jnp.int32),
@@ -98,7 +98,11 @@ def main():
                 "labels": jnp.asarray(labels),
                 "valid": jnp.asarray(valid),
             },
-        }
+        })
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    for i in range(args.steps):
+        batch = pool[i % len(pool)]
         key, sub = jax.random.split(key)
         trainable, opt_state, losses = step(trainable, frozen, opt_state,
                                             batch, sub)
