@@ -118,9 +118,20 @@ class DetectionLoader:
         if world > 1 and n % world:
             # DistributedSampler-style wrap-around padding: every process
             # must yield the SAME number of batches or multi-host collectives
-            # desynchronize (torch DistributedSampler pads the same way).
-            idx = np.concatenate([idx, idx[: world - n % world]])
-        return idx[rank::world].tolist()
+            # desynchronize. Tile the index list when the pad exceeds the
+            # dataset size (torch DistributedSampler's indices * ceil rule) —
+            # a short pad would give ranks unequal shard lengths and deadlock
+            # the collectives. Duplicated images are deduplicated at the
+            # evaluator merge (evaluation/coco_metrics.py merge_from).
+            pad = world - n % world
+            reps = -(-pad // n)
+            idx = np.concatenate([idx] * (1 + reps))[: n + pad]
+        out = idx[rank::world].tolist()
+        if self.drop_last:
+            # Truncate the tail here so __iter__ never decodes images that
+            # no batch will consume.
+            out = out[: (len(out) // self.batch_size) * self.batch_size]
+        return out
 
     def __len__(self):
         n = len(self._indices())

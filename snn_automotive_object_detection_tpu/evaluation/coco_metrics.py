@@ -94,9 +94,17 @@ class COCOEval:
     # ---------------------------------------------------------------- merge
 
     def merge_from(self, others: Iterable["COCOEval"]):
-        """Cross-process merge (the all_gather of coco_eval.py:158-177)."""
+        """Cross-process merge (the all_gather of coco_eval.py:158-177).
+
+        First-seen wins per image: the sharded loader pads with wrap-around
+        duplicates so every rank yields equal batch counts, which makes the
+        same image (with identical detections) appear on two ranks. The
+        reference dedups the merged img_ids the same way
+        (coco_eval.py:163-177, np.unique)."""
         for o in others:
             for img_id, d in o.dets.items():
+                if img_id in self.dets:
+                    continue
                 s = self.dets[img_id]
                 s["boxes"].extend(d["boxes"])
                 s["scores"].extend(d["scores"])

@@ -106,6 +106,11 @@ class CocoEvaluator:
                 if p == me:
                     continue
                 for img_id, d in dets.items():
+                    # First-seen wins: wrap-around shard padding duplicates
+                    # images across ranks with identical detections
+                    # (reference np.unique merge, coco_eval.py:163-177).
+                    if img_id in self.eval.dets:
+                        continue
                     s = self.eval.dets[img_id]
                     s["boxes"].extend(d["boxes"])
                     s["scores"].extend(d["scores"])

@@ -74,10 +74,11 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
             return heads.rpn_head_ann_apply(params["rpn_head"], features, dtype)
 
     if config.detector_snn:
-        # Inference uses the stacked-T fc6 GEMM (heads._fastrcnn_snn_precomputed)
-        # — identical spike trains, but the fc6 weight is read once instead of
-        # once per step. Training keeps the step encoder (its surrogate grads).
-        pre_fc6 = not training and getattr(config, "det_precompute_fc6", True)
+        # Optional stacked-T fc6 GEMM (heads._fastrcnn_snn_precomputed) —
+        # identical spike trains, fc6 weight read once per forward instead of
+        # per step, but measured SLOWER on v5e, so OFF by default (matching
+        # the dataclass default in factory.py).
+        pre_fc6 = not training and getattr(config, "det_precompute_fc6", False)
 
         def box_head_apply(flat):
             return heads.fastrcnn_snn_apply(
@@ -160,6 +161,15 @@ def detector_apply(
         loss_key=key_rpn,
     )
 
+    # Patch-based Pallas RoIAlign: TPU inference only, and only in bf16 mode
+    # (fp32 parity runs keep the XLA gather path: the kernel's f32 dots
+    # differ in reduction order and don't force Precision.HIGHEST).
+    pallas_align = (
+        getattr(config, "roi_pallas", True)
+        and not training
+        and config.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
     det, roi_losses = roi_mod.roi_heads_forward(
         box_head_apply,
         feats[:-1],  # all levels except "pool" (model.py:118)
@@ -172,6 +182,7 @@ def detector_apply(
         open_set=config.detector_snn,
         targets=batch.get("targets"),
         loss_key=key_roi,
+        pallas_align=pallas_align,
     )
 
     losses = {**rpn_losses, **roi_losses}

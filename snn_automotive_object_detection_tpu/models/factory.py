@@ -56,6 +56,9 @@ class DetectorConfig:
     # Fused Pallas RPN head at inference (snn/pallas_rpn.py) — used on TPU
     # only; training and rate collection always take the XLA scan path.
     rpn_pallas: bool = True
+    # Patch-based Pallas RoIAlign at inference (ops/pallas_roi_align.py) —
+    # TPU + bf16 only; fp32 parity runs keep the XLA gather path.
+    roi_pallas: bool = True
     # Stacked-T fc6 GEMM for the spiking box head (identical spike trains;
     # the 25.7 MB fc6 weight is read once, not per step). MEASURED SLOWER on
     # v5e (23.0 vs 7.6 ms at R=2048, T=12): the uint8 period-map mods and

@@ -273,6 +273,7 @@ def roi_heads_forward(
     open_set: bool = True,
     targets: Optional[Dict[str, jnp.ndarray]] = None,
     loss_key: Optional[jax.Array] = None,
+    pallas_align: bool = False,
 ):
     """Full RoI-heads pass (roi_heads.py:1178-1347).
 
@@ -314,10 +315,11 @@ def roi_heads_forward(
         losses = {"loss_classifier": loss_cls, "loss_box_reg": loss_box}
         return {"rates": rates}, losses
 
-    # Eval path: the Pallas patch kernel (ops/pallas_roi_align.py) when on
-    # TPU at the standard 7x7/sr=2 operating point — exact semantics with a
-    # whole-batch gather fallback for pathological RoI shapes.
-    if jax.default_backend() == "tpu":
+    # Eval path: the Pallas patch kernel (ops/pallas_roi_align.py) when the
+    # caller enabled it (TPU + bf16; see detector.make_head_applies' gate) —
+    # exact semantics with a whole-batch gather fallback for pathological
+    # RoI shapes.
+    if pallas_align:
         from snn_automotive_object_detection_tpu.ops.pallas_roi_align import (
             multiscale_roi_align_pallas,
         )

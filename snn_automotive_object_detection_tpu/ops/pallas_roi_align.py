@@ -92,7 +92,10 @@ def _prep(boxes_flat, levels_flat, lvl_h, lvl_w, lvl_scale, lvl_rowoff,
     x_min, x_need = lows(x1, bin_w, ww)
 
     y0 = jnp.clip(y_min, 0, jnp.maximum(hh - PH, 0))
-    x0 = jnp.clip((x_min // 8) * 8, 0, stride_w - PW)
+    # The clip bound must itself be 8-aligned or the kernel's
+    # pl.multiple_of(x0, 8) DMA promise is violated for widths where
+    # stride_w - PW is not a multiple of 8.
+    x0 = jnp.clip((x_min // 8) * 8, 0, (stride_w - PW) // 8 * 8)
     fits = (y_need - y0 <= PH - 1) & (x_need - x0 <= PW - 1)
 
     row0 = lvl_rowoff[levels_flat] + y0

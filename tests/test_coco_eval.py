@@ -132,3 +132,20 @@ def test_merge_from():
     a.accumulate()
     stats = a.summarize(verbose=False)
     assert np.isclose(stats[0], 1.0)
+
+
+def test_merge_from_dedups_wraparound_duplicates():
+    """Sharded loaders pad with wrap-around duplicates, so the SAME image
+    (identical detections) can arrive from two processes; the merge must
+    keep one copy (reference np.unique merge, coco_eval.py:163-177)."""
+    gt = {1: gt_entry([[0, 0, 50, 50]], [1])}
+    a = COCOEval(gt, [1])
+    b = COCOEval(gt, [1])
+    det = (np.array([[0, 0, 50, 50]]), np.array([0.9]), np.array([1]))
+    a.add_detections(1, *det)
+    b.add_detections(1, *det)  # duplicate eval of image 1 on another rank
+    a.merge_from([b])
+    assert len(np.concatenate(a.dets[1]["scores"])) == 1
+    a.accumulate()
+    stats = a.summarize(verbose=False)
+    assert np.isclose(stats[0], 1.0)  # a doubled det would be an FP

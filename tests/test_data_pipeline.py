@@ -152,3 +152,28 @@ def test_train_presets_run(rng):
             assert (b[:, [0, 2]] <= out.shape[1] + 1e-3).all()
             assert (b[:, [1, 3]] <= out.shape[0] + 1e-3).all()
             assert len(t["labels"]) == len(b)
+
+
+def test_loader_sharding_tiny_dataset(coco_dir):
+    # Wrap-around padding must TILE when the pad exceeds the dataset size
+    # (torch DistributedSampler's indices * ceil rule): n=2 images across
+    # world=8 -> every rank still yields exactly one batch.
+    img_dir, ann_file = coco_dir
+    ds = CocoDataset(img_dir, ann_file)
+    n = len(ds)
+    world = 4 * n
+    lens = []
+    for rank in range(world):
+        l = DetectionLoader(ds, 1, (128, 256), 128, 256, shard=(rank, world))
+        lens.append(len([b for b in l]))
+    assert lens == [1] * world
+
+
+def test_loader_drop_last_truncates_indices(coco_dir):
+    img_dir, ann_file = coco_dir
+    ds = CocoDataset(img_dir, ann_file)
+    l = DetectionLoader(ds, 2, (128, 256), 128, 256, drop_last=True)
+    n_batches = len(l)
+    assert n_batches == len(ds) // 2
+    # no partially-consumed tail: the index list itself is truncated
+    assert len(l._indices()) == n_batches * 2
