@@ -7,26 +7,32 @@ Implements the full T_rpn-step unroll of the reference's ``RPNHeadSNN``
     -> fused 1x1 readout conv (256 -> A+4A) -> leaky integrators
 
 The XLA ``lax.scan`` path (models/heads.py rpn_head_snn_apply) round-trips
-every LIF/LI state tensor through HBM once per timestep; at the flagship
+every LIF/LIF state tensor through HBM once per timestep; at the flagship
 operating point (768x1536, T=8, batch 2) that made the RPN head the largest
 stage (~28 of 73 ms). Here everything is VMEM-resident across all T steps:
 
-  * Encoder spikes are generated from the CLOSED-FORM spike period
-    (snn/functional.py encoder_periods — exact for the constant-current
-    usage in rpn.py:101). The kernel carries a per-element countdown in
-    bfloat16 (integers <= 255 are exact in bf16), so a step's spike plane
-    costs zero HBM traffic and no integer vector ops.
+  * The kernel DMAs its own (th+2)-row halo window of the feature map per
+    tile — no XLA-side window duplication pass.
+  * Encoder spikes are generated from the CLOSED-FORM spike period of the
+    constant-current encoder (exact for the usage in rpn.py:101). For a
+    T-step run only periods <= T ever spike, and the period is a pure
+    THRESHOLD COUNT: the membrane after m steps is x * (1 - a^m), so
+    p = 1 + sum_m [x * (1 - a^m) <= v_th] over m = 1..T — T fused
+    compares, no transcendentals, and exactly the integer
+    snn/functional.py encoder_periods computes (the (1 - a^m) constants
+    are XLA-folded from the same pow arithmetic). The kernel then carries
+    a per-element countdown in the state dtype (integers <= T+1 are exact
+    in bf16), so a step's spike plane costs zero HBM traffic.
   * The 3x3 conv is computed as 9 shifted [M, C] @ [C, C] matmuls over a
     row-flattened spatial layout. Each image row is padded to W_pad lanes
-    (>= W + 2, multiple of 16) whose extra columns carry the "never spikes"
-    period; flattening (y, x) -> y * W_pad + x makes every conv tap a
-    contiguous sublane-shifted slice. Tap wrap-around only ever lands in
-    padding columns, and the 1x1 readout has no spatial mixing, so padding
+    (>= W + 2, multiple of 16) whose extra columns never spike;
+    flattening (y, x) -> y * W_pad + x makes every conv tap a contiguous
+    sublane-shifted slice. Tap wrap-around only ever lands in padding
+    columns, and the 1x1 readout has no spatial mixing, so padding
     garbage never contaminates interior outputs (they are sliced away on
     the XLA side).
-  * LIF / LI state, the 3x3 weights (1.2 MB bf16) and the fused 1x1 readout
-    weights all stay in VMEM; the grid iterates (image, row-tile) pairs and
-    Pallas double-buffers the period-map blocks.
+  * LIF / LI state, the 3x3 weights (1.2 MB bf16) and the fused 1x1
+    readout weights all stay in VMEM across the T-step loop.
 
 Numerics match the production XLA path (bf16 state, f32 MXU accumulation,
 same norse-0.0.7 update ordering as snn/functional.py). The kernel is
@@ -56,6 +62,9 @@ _BASE = 16
 # VMEM budget for choosing the row-tile height (leaves headroom for Mosaic
 # temporaries in the ~16 MB/core VMEM).
 _VMEM_BUDGET = 12 * 1024 * 1024
+# The threshold-count period needs one compare per step; cap where that
+# stays trivially cheap (the reference sweeps T_rpn only up to 12).
+_MAX_T = 32
 
 # (dy, dx) tap order must match the [3, 3, C, C] HWIO weight layout.
 _TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -69,15 +78,18 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int) -> int:
     """Estimated VMEM use for a row-tile height of ``th`` (see kernel)."""
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
     m = th * w_pad
-    per_blocks = 2 * s_alloc * c * sz      # pipelined period blocks
-    cz = 2 * s_alloc * c * sz              # countdown + spike scratch
+    s_halo = (th + 2) * w_pad
+    window = s_halo * c * sz               # DMA'd feature window
+    per_cnt_z = 3 * s_alloc * c * sz       # period + countdown + spikes
+    period_tmp = 2 * s_halo * c * 4        # xf + p f32 temporaries
     lif = 2 * m * c * sz                   # v, i
     acc = m * c * 4                        # f32 accumulator
     li = 2 * m * 128 * sz                  # readout v, i
     out = 2 * m * 128 * sz                 # pipelined output blocks
     s_tmp = m * c * sz                     # spike temp feeding the 1x1 GEMM
     w = (9 * c * c + 128 * c) * sz
-    return per_blocks + cz + lif + acc + li + out + s_tmp + w
+    return (window + per_cnt_z + period_tmp + lif + acc + li + out
+            + s_tmp + w)
 
 
 def _choose_tile_h(h: int, w_pad: int, c: int, sz: int) -> int:
@@ -91,19 +103,25 @@ def _choose_tile_h(h: int, w_pad: int, c: int, sz: int) -> int:
 
 
 def _rpn_level_kernel(
-    per_ref,    # [1, S_alloc, C] state_dtype — encoder periods (flat rows)
-    w9_ref,     # [9, C, C]       state_dtype — 3x3 conv taps (dy-major)
-    wout_ref,   # [C, 128]        state_dtype — fused 1x1 readout (padded)
-    out_ref,    # [1, M, 128]     state_dtype — final LI membrane
-    cnt_ref,    # [S_alloc, C]  countdown to next encoder spike
-    z_ref,      # [S_alloc, C]  this step's encoder spikes
-    v_ref,      # [M, C]        LIF membrane
-    i_ref,      # [M, C]        LIF synaptic current
-    acc_ref,    # [M, C] f32    conv accumulator
-    liv_ref,    # [M, 128]      LI membrane
-    lii_ref,    # [M, 128]      LI synaptic current
+    thr_ref,    # [T] f32 (scalar prefetch) — 1 - a^m membrane constants
+    x_hbm,      # [N, HT, W_pad, C] state_dtype — padded features (ANY)
+    w9_ref,     # [9, C, C]  state_dtype — 3x3 conv taps (dy-major)
+    wout_ref,   # [C, 128]   state_dtype — fused 1x1 readout (padded)
+    out_ref,    # [1, M, 128] state_dtype — final LI membrane
+    xwin_ref,   # [th+2, W_pad, C] window scratch (DMA target)
+    per_ref,    # [S_alloc, C] first-spike period (T+1 == never)
+    cnt_ref,    # [S_alloc, C] countdown to next encoder spike
+    z_ref,      # [S_alloc, C] this step's encoder spikes
+    v_ref,      # [M, C]       LIF membrane
+    i_ref,      # [M, C]       LIF synaptic current
+    acc_ref,    # [M, C] f32   conv accumulator
+    liv_ref,    # [M, 128]     LI membrane
+    lii_ref,    # [M, 128]     LI synaptic current
+    dma_sem,
     *,
     num_steps: int,
+    n_th: int,
+    tile_h: int,
     m_rows: int,
     w_pad: int,
 ):
@@ -111,23 +129,47 @@ def _rpn_level_kernel(
     tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
     tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
     sd = v_ref.dtype
-    # Threshold as the XLA path sees it: rounded to the state dtype first
-    # (the f32 compare below then matches the bf16 `v_dec - v_th > 0`).
+    # Thresholds as the XLA path sees them: rounded to the state dtype
+    # first (the f32 compares below then match the bf16 arithmetic).
     v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(sd)))
+    enc_vth = float(snnf.ENCODER_PARAMS.v_th)    # 0.25
 
-    cnt_ref[:] = per_ref[0]
+    r = pl.program_id(0)
+    img = r // n_th
+    row0 = (r % n_th) * tile_h
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[img, pl.ds(row0, tile_h + 2), :, :], xwin_ref, dma_sem
+    )
+    dma.start()
+
+    never = float(num_steps + 1)
+    per_ref[:] = jnp.full_like(per_ref, never)
     for ref in (v_ref, i_ref, liv_ref, lii_ref):
         ref[:] = jnp.zeros_like(ref)
 
+    dma.wait()
+    # Closed-form first-spike period as a threshold count: the encoder
+    # membrane after m steps of constant current x is x * (1 - a^m)
+    # (snn/functional.py encoder_periods), so
+    #   p = 1 + sum_{m=1..T} [x * (1 - a^m) <= v_th_enc]
+    # — exactly encoder_periods' integer for p <= T, and "never" (> T)
+    # otherwise, which is indistinguishable within a T-step run.
+    s_halo = (tile_h + 2) * w_pad
+    xf = xwin_ref[:].reshape(s_halo, -1).astype(jnp.float32)
+    p = jnp.ones_like(xf)
+    for m in range(num_steps):
+        p = p + (xf * thr_ref[m] <= enc_vth).astype(jnp.float32)
+    per_ref[_BASE:_BASE + s_halo, :] = p.astype(sd)
+    cnt_ref[:] = per_ref[:]
+
     def step(_t, _):
-        # Encoder: countdown-to-spike form of the closed-form period
-        # (z_t == ((t+1) mod period == 0); integers <= 255 exact in bf16).
-        # The compare runs in f32 — v5e Mosaic lacks bf16 vector compares,
-        # and the bf16->f32 extension is exact so semantics are unchanged.
+        # Encoder: countdown-to-spike. The compare runs in f32 — v5e Mosaic
+        # lacks bf16 vector compares, and the bf16->f32 extension is exact.
         # (A compare-free max/fma formulation measured ~70% slower.)
         c = cnt_ref[:] - 1.0
         spike = c.astype(jnp.float32) < 0.5
-        cnt_ref[:] = jnp.where(spike, per_ref[0], c)
+        cnt_ref[:] = jnp.where(spike, per_ref[:], c)
         z_ref[:] = spike.astype(sd)
 
         # 3x3 conv as 9 shifted matmuls on the row-flattened layout.
@@ -181,43 +223,41 @@ def _run_level(
     th = _choose_tile_h(h, w_pad, c, sz)
     n_th = -(-h // th)
     m_rows = th * w_pad
-    s_halo = (th + 2) * w_pad
-    s_alloc = _round_up(_BASE + s_halo + w_pad + 1, 16)
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
 
-    # Period map; 255 == "never spikes within T" (requires T <= 254).
-    periods = snnf.encoder_periods(feat)  # [N, H, W, C] uint8
-    pp = jnp.pad(
-        periods,
+    # Zero-pad to the windowed layout: 1 halo row top/bottom, 1 halo col
+    # left, width to W_pad, height to n_th*th. Zero features never spike
+    # (x <= v_th_enc), matching the conv's zero padding and the XLA path's
+    # period-255 padding.
+    x_pad = jnp.pad(
+        feat.astype(state_dtype),
         ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
-        constant_values=255,
     )
-    # Overlapping row windows (1-row conv halo top/bottom) -> flat tiles.
-    rows = jnp.arange(n_th)[:, None] * th + jnp.arange(th + 2)[None, :]
-    tiles = pp[:, rows]                                  # [N, n_th, th+2, Wp, C]
-    flat = tiles.reshape(n * n_th, s_halo, c)
-    flat = jnp.pad(
-        flat, ((0, 0), (_BASE, s_alloc - _BASE - s_halo), (0, 0)),
-        constant_values=255,
-    ).astype(state_dtype)
+
+    # Membrane constants 1 - a^m for m = 1..T, computed with the SAME XLA
+    # pow arithmetic encoder_periods uses (folded at compile time).
+    a = 1.0 - snnf.DT * snnf.ENCODER_PARAMS.tau_mem_inv
+    thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
 
     kernel = functools.partial(
-        _rpn_level_kernel, num_steps=num_steps, m_rows=m_rows, w_pad=w_pad
+        _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
+        m_rows=m_rows, w_pad=w_pad,
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n * n_th,),
         in_specs=[
-            pl.BlockSpec((1, s_alloc, c), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, c, c), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 128), lambda i: (0, 0),
+            pl.BlockSpec((c, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_rows, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype),
         scratch_shapes=[
+            pltpu.VMEM((th + 2, w_pad, c), state_dtype),
+            pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((m_rows, c), state_dtype),
@@ -225,14 +265,20 @@ def _run_level(
             pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.VMEM((m_rows, 128), state_dtype),
             pltpu.VMEM((m_rows, 128), state_dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype),
         interpret=interpret,
-    )(flat, w9.astype(state_dtype), wout.astype(state_dtype))
+    )(thresholds, x_pad, w9.astype(state_dtype), wout.astype(state_dtype))
 
-    a = num_anchors
-    mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a]
-    mem = mem.reshape(n, n_th * th, w, 5 * a)[:, :h].astype(jnp.float32)
-    return mem[..., :a], mem[..., a:]
+    a_n = num_anchors
+    mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a_n]
+    mem = mem.reshape(n, n_th * th, w, 5 * a_n)[:, :h].astype(jnp.float32)
+    return mem[..., :a_n], mem[..., a_n:]
 
 
 def rpn_head_snn_pallas_apply(
@@ -247,7 +293,9 @@ def rpn_head_snn_pallas_apply(
     Same outputs (objectness / bbox lists); rates are not collected (use the
     XLA path for the energy analysis). Forward-only — no gradient rule.
     """
-    assert num_steps <= 200, "period-255 encoder padding requires T <= 200"
+    assert num_steps <= _MAX_T, (
+        f"threshold-count encoder supports T <= {_MAX_T}"
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w_shared = params["shared_conv"]["w"]          # [3, 3, C, C]
