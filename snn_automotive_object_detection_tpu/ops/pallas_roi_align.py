@@ -51,6 +51,10 @@ from snn_automotive_object_detection_tpu.ops.roi_align import (
     multiscale_roi_align,
 )
 
+def _round_up_int(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 PH = 40   # patch rows; covers roi_hf + 2 up to 40 feature rows
 PW = 56   # patch cols (8-aligned DMA offset costs up to 7 extra cols)
 OS = 7    # output size
@@ -142,16 +146,18 @@ def _roi_kernel(
     rx_ref,                # [64, 8]  f32 one-hot b -> b % 8
     ey_ref,                # [PH, PH*PW] f32 0/1: k // PW == p
     ex_ref,                # [PW, PH*PW] f32 0/1: k %  PW == x
-    out_ref,               # [1, 64, C] f32
-    patch_buf,             # [2, PH, PW, C] feat dtype
-    sems,                  # DMA sems [2]
+    out_ref,               # [1, 128, C] f32 (two RoIs' 64-bin rows)
+    patch_buf,             # [2, 2, PH, PW, C] (pipeline slot, roi-in-pair)
+    sems,                  # DMA sems [2, 2]
     *,
-    n_rois: int,
+    n_pairs: int,
     feat_bf16: bool,
 ):
-    r = pl.program_id(0)
+    # Two RoIs per grid step: the kernel is per-step-overhead-bound (~1.8 us
+    # above the DMA bandwidth floor), so pairing amortizes it.
+    q = pl.program_id(0)
 
-    def start_dma(slot, idx):
+    def start_dma(slot, j, idx):
         return pltpu.make_async_copy(
             stacked_hbm.at[
                 img_ref[idx],
@@ -159,46 +165,52 @@ def _roi_kernel(
                 pl.ds(pl.multiple_of(x0_ref[idx], 8), PW),
                 :,
             ],
-            patch_buf.at[slot],
-            sems.at[slot],
+            patch_buf.at[slot, j],
+            sems.at[slot, j],
         )
 
-    slot = jax.lax.rem(r, 2)
-    nxt = jax.lax.rem(r + 1, 2)
+    slot = jax.lax.rem(q, 2)
+    nxt = jax.lax.rem(q + 1, 2)
 
-    @pl.when(r == 0)
+    @pl.when(q == 0)
     def _():
-        start_dma(0, 0).start()
+        start_dma(0, 0, 0).start()
+        start_dma(0, 1, 1).start()
 
-    @pl.when(r + 1 < n_rois)
+    @pl.when(q + 1 < n_pairs)
     def _():
-        start_dma(nxt, r + 1).start()
+        start_dma(nxt, 0, 2 * (q + 1)).start()
+        start_dma(nxt, 1, 2 * (q + 1) + 1).start()
 
-    by = _axis_bin_weights(y1s_ref[r], binh_ref[r], hf_ref[r], y0_ref[r], PH)
-    bx = _axis_bin_weights(x1s_ref[r], binw_ref[r], wf_ref[r], x0_ref[r], PW)
-    # Combined [64, PH*PW] weight matrix WITHOUT lane-merging reshapes
-    # (unsupported by Mosaic): expand the two rank-1 factors onto the flat
-    # k = p*PW + x axis via constant 0/1 matmuls, then multiply.
-    # The 0.25 is the (sampling_ratio^2) sample average.
     f32 = jnp.float32
-    wy_flat = jnp.dot(jnp.dot(ry_ref[:], by, preferred_element_type=f32),
-                      ey_ref[:], preferred_element_type=f32)
-    wx_flat = jnp.dot(jnp.dot(rx_ref[:], bx, preferred_element_type=f32),
-                      ex_ref[:], preferred_element_type=f32)
-    wc = wy_flat * wx_flat * 0.25
+    for j in (0, 1):
+        r = 2 * q + j
+        by = _axis_bin_weights(y1s_ref[r], binh_ref[r], hf_ref[r],
+                               y0_ref[r], PH)
+        bx = _axis_bin_weights(x1s_ref[r], binw_ref[r], wf_ref[r],
+                               x0_ref[r], PW)
+        # Combined [64, PH*PW] weight matrix WITHOUT lane-merging reshapes
+        # (unsupported by Mosaic): expand the two rank-1 factors onto the
+        # flat k = p*PW + x axis via constant 0/1 matmuls, then multiply.
+        # The 0.25 is the (sampling_ratio^2) sample average.
+        wy_flat = jnp.dot(jnp.dot(ry_ref[:], by, preferred_element_type=f32),
+                          ey_ref[:], preferred_element_type=f32)
+        wx_flat = jnp.dot(jnp.dot(rx_ref[:], bx, preferred_element_type=f32),
+                          ex_ref[:], preferred_element_type=f32)
+        wc = wy_flat * wx_flat * 0.25
 
-    start_dma(slot, r).wait()
-    patch = patch_buf[slot].reshape(PH * PW, -1)
+        start_dma(slot, j, r).wait()
+        patch = patch_buf[slot, j].reshape(PH * PW, -1)
 
-    if feat_bf16:
-        hi = wc.astype(jnp.bfloat16)
-        lo = (wc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jnp.dot(hi, patch, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(lo, patch, preferred_element_type=jnp.float32)
-    else:
-        out = jnp.dot(wc, patch.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    out_ref[0] = out
+        if feat_bf16:
+            hi = wc.astype(jnp.bfloat16)
+            lo = (wc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jnp.dot(hi, patch, preferred_element_type=jnp.float32)
+            out = out + jnp.dot(lo, patch, preferred_element_type=jnp.float32)
+        else:
+            out = jnp.dot(wc, patch.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        out_ref[0, 64 * j:64 * (j + 1), :] = out
 
 
 def _stack_levels(features, stride_w):
@@ -262,10 +274,19 @@ def multiscale_roi_align_pallas(
     ey = (k_idx[None, :] // PW == np.arange(PH)[:, None]).astype(np.float32)
     ex = (k_idx[None, :] % PW == np.arange(PW)[:, None]).astype(np.float32)
 
+    # Two RoIs per grid step (per-step overhead amortization): pad the
+    # per-RoI scalar arrays to an even count with index-0 dummies (valid
+    # DMA coordinates; the dummy output row is sliced away).
+    p_pad = _round_up_int(p_total, 2)
+    n_pairs = p_pad // 2
+
+    def pad_scalars(v):
+        return jnp.pad(v, (0, p_pad - p_total))
+
     def pallas_path(_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=10,
-            grid=(p_total,),
+            grid=(n_pairs,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((64, 8), lambda i, *_: (0, 0),
@@ -277,25 +298,29 @@ def multiscale_roi_align_pallas(
                 pl.BlockSpec((PW, PH * PW), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 64, c), lambda i, *_: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, 128, c), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, PH, PW, c), stacked.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 2, PH, PW, c), stacked.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_roi_kernel, n_rois=p_total,
+            functools.partial(_roi_kernel, n_pairs=n_pairs,
                               feat_bf16=feat_bf16),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((p_total, 64, c), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pairs, 128, c), jnp.float32),
             interpret=interpret,
         )(
-            g["row0"], g["x0"], g["y0"], g["y1s"], g["x1s"],
-            g["bin_h"], g["bin_w"], g["hf"], g["wf"], img_ids,
+            pad_scalars(g["row0"]), pad_scalars(g["x0"]),
+            pad_scalars(g["y0"]), pad_scalars(g["y1s"]),
+            pad_scalars(g["x1s"]), pad_scalars(g["bin_h"]),
+            pad_scalars(g["bin_w"]), pad_scalars(g["hf"]),
+            pad_scalars(g["wf"]), pad_scalars(img_ids),
             stacked, jnp.asarray(ry), jnp.asarray(rx),
             jnp.asarray(ey), jnp.asarray(ex),
         )
+        out = out.reshape(p_pad, 64, c)[:p_total]
         return out.reshape(n, r, 8, 8, c)[:, :, :OS, :OS]
 
     def fallback(_):

@@ -95,3 +95,14 @@ def test_oversized_roi_falls_back_exactly(rng):
     # Same gather computation; only lax.cond-context fusion/reduction order
     # differs.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_odd_roi_count_pads_pair(rng):
+    # Kernel processes two RoIs per grid step; odd totals pad with dummies.
+    feats, boxes, size = _setup(rng)
+    boxes = boxes[:1, :11]  # 11 RoIs -> odd p_total
+    ref = multiscale_roi_align([f[:1] for f in feats], boxes, size)
+    out = multiscale_roi_align_pallas([f[:1] for f in feats], boxes, size,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
