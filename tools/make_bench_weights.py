@@ -27,8 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
-                    max_boxes: int = 8):
-    """Images of dark noise with bright axis-aligned rectangles as objects."""
+                    max_boxes: int = 8, num_labels: int = 8):
+    """Images of dark noise with bright axis-aligned rectangles as objects.
+
+    num_labels=1 gives a single (visually meaningful) foreground class, so a
+    model trained on this data produces non-trivial mAP on fresh samples."""
     images = rng.uniform(0.0, 0.25, (batch, h, w, 3)).astype(np.float32)
     boxes = np.zeros((batch, max_boxes, 4), np.float32)
     labels = np.zeros((batch, max_boxes), np.int32)
@@ -44,7 +47,7 @@ def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
             color = rng.uniform(0.6, 1.0, (3,)).astype(np.float32)
             images[b, int(y0):int(y1), int(x0):int(x1)] = color
             boxes[b, g] = (x0, y0, x1, y1)
-            labels[b, g] = int(rng.integers(1, 9))
+            labels[b, g] = int(rng.integers(1, num_labels + 1))
             valid[b, g] = True
     return images, boxes, labels, valid
 
