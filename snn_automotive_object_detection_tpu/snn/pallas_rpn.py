@@ -83,12 +83,12 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int) -> int:
     per_cnt_z = 3 * s_alloc * c * sz       # period + countdown + spikes
     period_tmp = 2 * s_halo * c * 4        # xf + p f32 temporaries
     lif = 2 * m * c * sz                   # v, i
-    acc = m * c * 4                        # f32 accumulator
-    li = 2 * m * 128 * sz                  # readout v, i
+    acc = m * c * 4                        # f32 conv accumulator
+    ssum = m * c * 4                       # f32 LI-weighted spike accumulator
     out = 2 * m * 128 * sz                 # pipelined output blocks
-    s_tmp = m * c * sz                     # spike temp feeding the 1x1 GEMM
+    s_tmp = m * c * 4                      # f32 spike temp per step
     w = (9 * c * c + 128 * c) * sz
-    return (window + per_cnt_z + period_tmp + lif + acc + li + out
+    return (window + per_cnt_z + period_tmp + lif + acc + ssum + out
             + s_tmp + w)
 
 
@@ -104,6 +104,7 @@ def _choose_tile_h(h: int, w_pad: int, c: int, sz: int) -> int:
 
 def _rpn_level_kernel(
     thr_ref,    # [T] f32 (scalar prefetch) — 1 - a^m membrane constants
+    li_ref,     # [T] f32 (scalar prefetch) — LI readout coefficients a_t
     x_hbm,      # [N, HT, W_pad, C] state_dtype — padded features (ANY)
     w9_ref,     # [9, C, C]  state_dtype — 3x3 conv taps (dy-major)
     wout_ref,   # [C, 128]   state_dtype — fused 1x1 readout (padded)
@@ -115,8 +116,7 @@ def _rpn_level_kernel(
     v_ref,      # [M, C]       LIF membrane
     i_ref,      # [M, C]       LIF synaptic current
     acc_ref,    # [M, C] f32   conv accumulator
-    liv_ref,    # [M, 128]     LI membrane
-    lii_ref,    # [M, 128]     LI synaptic current
+    ssum_ref,   # [M, C] f32   LI-weighted spike accumulator
     dma_sem,
     *,
     num_steps: int,
@@ -145,7 +145,7 @@ def _rpn_level_kernel(
 
     never = float(num_steps + 1)
     per_ref[:] = jnp.full_like(per_ref, never)
-    for ref in (v_ref, i_ref, liv_ref, lii_ref):
+    for ref in (v_ref, i_ref, ssum_ref):
         ref[:] = jnp.zeros_like(ref)
 
     dma.wait()
@@ -163,7 +163,7 @@ def _rpn_level_kernel(
     per_ref[_BASE:_BASE + s_halo, :] = p.astype(sd)
     cnt_ref[:] = per_ref[:]
 
-    def step(_t, _):
+    def step(t, _):
         # Encoder: countdown-to-spike. The compare runs in f32 — v5e Mosaic
         # lacks bf16 vector compares, and the bf16->f32 extension is exact.
         # (A compare-free max/fma formulation measured ~70% slower.)
@@ -188,19 +188,24 @@ def _rpn_level_kernel(
         # LIF step (functional.py lif_feed_forward_step ordering).
         v_dec = v_ref[:] + tau_mem * (i_ref[:] - v_ref[:])
         i_dec = i_ref[:] - tau_syn * i_ref[:]
-        s = (v_dec.astype(jnp.float32) - v_th > 0).astype(sd)
-        v_ref[:] = (1.0 - s) * v_dec
+        s = (v_dec.astype(jnp.float32) - v_th > 0)
+        v_ref[:] = jnp.where(s, 0.0, v_dec)
         i_ref[:] = i_dec + acc_ref[:].astype(sd)
 
-        # Fused 1x1 readout + LI step (functional.py li_feed_forward_step).
-        cur = jnp.dot(s, wout_ref[:], preferred_element_type=jnp.float32)
-        i_jump = lii_ref[:] + cur.astype(sd)
-        liv_ref[:] = liv_ref[:] + tau_mem * (i_jump - liv_ref[:])
-        lii_ref[:] = i_jump - tau_syn * i_jump
+        # The LI readout is LINEAR in its per-step input currents, and the
+        # 1x1 conv has no state — so v_T = conv1x1(sum_t a_t * s_t) with
+        # scalar coefficients a_t = 0.1 * sum_{u=t..T} 0.9^(T-u) 0.8^(u-t)
+        # (functional.py li_feed_forward_step unrolled). Accumulate the
+        # weighted spikes in f32 and run ONE readout matmul after the loop
+        # instead of a matmul + 6 LI passes per step.
+        ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
         return ()
 
     jax.lax.fori_loop(0, num_steps, step, ())
-    out_ref[0] = liv_ref[:]
+    out_ref[0] = jnp.dot(
+        ssum_ref[:], wout_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(sd)
 
 
 def _run_level(
@@ -238,13 +243,23 @@ def _run_level(
     # pow arithmetic encoder_periods uses (folded at compile time).
     a = 1.0 - snnf.DT * snnf.ENCODER_PARAMS.tau_mem_inv
     thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
+    # LI readout coefficients: unrolling li_feed_forward_step (v' = 0.9v +
+    # 0.1 i_jump, i' = 0.8 i_jump) gives v_T = sum_u a_u * cur_u with
+    # a_u = 0.1 * sum_{k=u..T} 0.9^(T-k) * 0.8^(k-u)  (u, k 1-indexed).
+    tm = snnf.DT * snnf.LI_PARAMS.tau_mem_inv    # 0.1
+    ts = snnf.DT * snnf.LI_PARAMS.tau_syn_inv    # 0.2
+    li_coef = np.asarray([
+        tm * sum((1.0 - tm) ** (num_steps - k) * (1.0 - ts) ** (k - u)
+                 for k in range(u, num_steps + 1))
+        for u in range(1, num_steps + 1)
+    ], np.float32)
 
     kernel = functools.partial(
         _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
         m_rows=m_rows, w_pad=w_pad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n * n_th,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -263,8 +278,7 @@ def _run_level(
             pltpu.VMEM((m_rows, c), state_dtype),
             pltpu.VMEM((m_rows, c), state_dtype),
             pltpu.VMEM((m_rows, c), jnp.float32),
-            pltpu.VMEM((m_rows, 128), state_dtype),
-            pltpu.VMEM((m_rows, 128), state_dtype),
+            pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -273,7 +287,8 @@ def _run_level(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype),
         interpret=interpret,
-    )(thresholds, x_pad, w9.astype(state_dtype), wout.astype(state_dtype))
+    )(thresholds, jnp.asarray(li_coef), x_pad,
+      w9.astype(state_dtype), wout.astype(state_dtype))
 
     a_n = num_anchors
     mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a_n]
