@@ -43,13 +43,17 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
     fast_enc = getattr(config, "fast_encoder", False)
     # Fused Pallas RPN head (snn/pallas_rpn.py): inference-only (no gradient
     # rule) and TPU-only (interpret mode is far too slow for real shapes).
+    # bf16 only: --fp32 is the exact-parity path and must keep the XLA scan
+    # (the kernel's f32 dots don't force Precision.HIGHEST and its reduction
+    # order differs ~1e-5 — same rule as the RoIAlign gate below). The f32
+    # kernel variant remains reachable in tests via state_dtype.
     # Rate collection stays on the XLA path.
     use_pallas_rpn = (
         getattr(config, "rpn_pallas", True)
         and config.rpn_snn
         and not training
         and not collect_rates
-        and dtype in (jnp.bfloat16, jnp.float32)
+        and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
 

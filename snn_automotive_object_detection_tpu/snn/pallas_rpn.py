@@ -311,6 +311,11 @@ def rpn_head_snn_pallas_apply(
     assert num_steps <= _MAX_T, (
         f"threshold-count encoder supports T <= {_MAX_T}"
     )
+    n_anch = params["conv_cls"]["w"].shape[-1]
+    assert 5 * n_anch <= 128, (
+        f"fused 128-lane readout supports at most 25 anchors per location "
+        f"(got {n_anch}); widen wout padding in pallas_rpn.py to use more"
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w_shared = params["shared_conv"]["w"]          # [3, 3, C, C]

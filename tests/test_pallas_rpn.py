@@ -69,6 +69,31 @@ def test_pallas_rpn_bf16_close_to_xla_bf16(rng):
     )
 
 
+def test_pallas_rpn_bf16_close_to_default_xla_path(rng):
+    """Kernel vs the PRODUCTION XLA/CPU fallback (fast_encoder=False).
+
+    The fallback simulates the encoder membrane step-by-step in bf16, while
+    the kernel uses f32 closed-form periods — a distinct difference class
+    from matmul reduction order (ADVICE r2): borderline bf16 membranes can
+    spike a step early/late vs the exact period. Tolerance is spike-scale.
+    """
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(3), 256, 3)
+    feats = _feats(rng, [(8, 16)])
+
+    o_ref, b_ref, _ = heads.rpn_head_snn_apply(
+        params, feats, 8, compute_dtype=jnp.bfloat16, fast_encoder=False
+    )
+    o_k, b_k, _ = rpn_head_snn_pallas_apply(
+        params, feats, 8, state_dtype=jnp.bfloat16, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_k[0]), np.asarray(o_ref[0]), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_k[0]), np.asarray(b_ref[0]), atol=0.05
+    )
+
+
 def test_pallas_rpn_mobilenet_anchor_count(rng):
     # 15 anchors/location (5 sizes x 3 ratios) -> 75 output channels, still
     # within the kernel's 128-lane readout.
