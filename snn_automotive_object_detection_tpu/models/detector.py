@@ -41,23 +41,32 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
     dtype = config.compute_dtype
 
     fast_enc = getattr(config, "fast_encoder", False)
-    # Fused Pallas RPN head (snn/pallas_rpn.py): inference-only (no gradient
-    # rule) and TPU-only (interpret mode is far too slow for real shapes).
-    # bf16 only: --fp32 is the exact-parity path and must keep the XLA scan
-    # (the kernel's f32 dots don't force Precision.HIGHEST and its reduction
-    # order differs ~1e-5 — same rule as the RoIAlign gate below). The f32
-    # kernel variant remains reachable in tests via state_dtype.
-    # Rate collection stays on the XLA path.
+    # Fused Pallas RPN head (snn/pallas_rpn.py): TPU-only (interpret mode is
+    # far too slow for real shapes). bf16 only: --fp32 is the exact-parity
+    # path and must keep the XLA scan (the kernel's f32 dots don't force
+    # Precision.HIGHEST and its reduction order differs ~1e-5 — same rule as
+    # the RoIAlign gate below). The f32 kernel variant remains reachable in
+    # tests via state_dtype. Training uses the custom-VJP variant (Pallas
+    # backward kernel, gradient-parity-tested vs the XLA scan); rate
+    # collection stays on the XLA path.
     use_pallas_rpn = (
         getattr(config, "rpn_pallas", True)
         and config.rpn_snn
-        and not training
         and not collect_rates
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
 
-    if config.rpn_snn and use_pallas_rpn:
+    if config.rpn_snn and use_pallas_rpn and training:
+        from snn_automotive_object_detection_tpu.snn.pallas_rpn import (
+            rpn_head_snn_pallas_train_apply,
+        )
+
+        def rpn_head_apply(features):
+            return rpn_head_snn_pallas_train_apply(
+                params["rpn_head"], features, config.t_rpn, state_dtype=dtype,
+            )
+    elif config.rpn_snn and use_pallas_rpn:
         from snn_automotive_object_detection_tpu.snn.pallas_rpn import (
             rpn_head_snn_pallas_apply,
         )

@@ -208,6 +208,19 @@ def _rpn_level_kernel(
     ).astype(sd)
 
 
+def _li_coefficients(num_steps: int) -> np.ndarray:
+    """LI readout coefficients: unrolling li_feed_forward_step (v' = 0.9v +
+    0.1 i_jump, i' = 0.8 i_jump) gives v_T = sum_u a_u * cur_u with
+    a_u = 0.1 * sum_{k=u..T} 0.9^(T-k) * 0.8^(k-u)  (u, k 1-indexed)."""
+    tm = snnf.DT * snnf.LI_PARAMS.tau_mem_inv    # 0.1
+    ts = snnf.DT * snnf.LI_PARAMS.tau_syn_inv    # 0.2
+    return np.asarray([
+        tm * sum((1.0 - tm) ** (num_steps - k) * (1.0 - ts) ** (k - u)
+                 for k in range(u, num_steps + 1))
+        for u in range(1, num_steps + 1)
+    ], np.float32)
+
+
 def _run_level(
     feat: jnp.ndarray,
     w9: jnp.ndarray,
@@ -243,16 +256,7 @@ def _run_level(
     # pow arithmetic encoder_periods uses (folded at compile time).
     a = 1.0 - snnf.DT * snnf.ENCODER_PARAMS.tau_mem_inv
     thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
-    # LI readout coefficients: unrolling li_feed_forward_step (v' = 0.9v +
-    # 0.1 i_jump, i' = 0.8 i_jump) gives v_T = sum_u a_u * cur_u with
-    # a_u = 0.1 * sum_{k=u..T} 0.9^(T-k) * 0.8^(k-u)  (u, k 1-indexed).
-    tm = snnf.DT * snnf.LI_PARAMS.tau_mem_inv    # 0.1
-    ts = snnf.DT * snnf.LI_PARAMS.tau_syn_inv    # 0.2
-    li_coef = np.asarray([
-        tm * sum((1.0 - tm) ** (num_steps - k) * (1.0 - ts) ** (k - u)
-                 for k in range(u, num_steps + 1))
-        for u in range(1, num_steps + 1)
-    ], np.float32)
+    li_coef = _li_coefficients(num_steps)
 
     kernel = functools.partial(
         _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
@@ -294,6 +298,357 @@ def _run_level(
     mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a_n]
     mem = mem.reshape(n, n_th * th, w, 5 * a_n)[:, :h].astype(jnp.float32)
     return mem[..., :a_n], mem[..., a_n:]
+
+
+# ====================================================================
+# Training path: custom VJP with a Pallas backward kernel.
+#
+# Gradients flow only into the 3x3 conv and the fused 1x1 readout weights:
+# the encoder is parameterless and the backbone features are frozen
+# (reference generalized_rcnn.py:93-94 wraps the backbone in no_grad and
+# detector.py stop_gradients the features), so dL/dfeat is returned as
+# zeros and the backward never needs a transposed-input conv.
+#
+# The backward kernel re-derives everything it needs per tile instead of
+# spilling from the forward (whose VMEM-resident speed is the point):
+#   phase 0: DMA the same feature window, recompute encoder periods
+#            (threshold-count form, chunked f32 temporaries)
+#   phase 1: replay the LIF forward, storing the T decayed-membrane planes
+#            v_d(t) in VMEM and accumulating ssum = sum_t a_t * s_t
+#   phase 2: reverse-mode sweep t = T-1..0 with the SuperSpike surrogate
+#            (snn/functional.py:63-84), accumulating
+#              dw9[k]  += z_t[tap k slice]^T @ dc_t      (9 matmuls/step)
+#              dwout   += ssum^T @ g                      (once per tile)
+#            into revisited output blocks shared across all grid tiles.
+#            Encoder spikes are regenerated by a REVERSED countdown: the
+#            forward countdown ends at c_T = p - (T mod p), and going
+#            backwards "spike iff c == p, then c <- 1, else c <- c + 1"
+#            reproduces z_t exactly (integers <= T+1 are exact in bf16).
+# ====================================================================
+
+
+def _vmem_bytes_bwd(th: int, w_pad: int, c: int, sz: int, t: int) -> int:
+    m = th * w_pad
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
+    window = (th + 2) * w_pad * c * sz
+    per_cnt_z = 3 * s_alloc * c * sz
+    ptmp = 2 * _PERIOD_CHUNK * c * 4          # chunked f32 period temps
+    vdbuf = t * m * c * sz
+    lif = 2 * m * c * sz
+    f32_planes = 6 * m * c * 4                # acc, gw, lv, li, ssum, temps
+    g_in = 2 * m * 128 * 4                    # double-buffered input block
+    weights = (9 * c * c + 128 * c) * sz
+    outs = (9 * c * c + 128 * c) * 4          # revisited f32 accumulators
+    return (window + per_cnt_z + ptmp + vdbuf + lif + f32_planes + g_in
+            + weights + outs)
+
+
+_PERIOD_CHUNK = 512  # rows per f32 period-computation chunk (bwd kernel)
+
+
+def _choose_tile_h_bwd(h: int, w_pad: int, c: int, sz: int, t: int) -> int:
+    cap = _round_up(h, 2)
+    for th in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+        if th <= cap and _vmem_bytes_bwd(th, w_pad, c, sz, t) <= _VMEM_BUDGET:
+            return th
+    return 1
+
+
+def _rpn_level_bwd_kernel(
+    thr_ref,    # [T] f32 (scalar prefetch) — 1 - a^m membrane constants
+    li_ref,     # [T] f32 (scalar prefetch) — LI readout coefficients a_t
+    x_hbm,      # [N, HT, W_pad, C] state_dtype — padded features (ANY)
+    w9_ref,     # [9, C, C]  state_dtype — 3x3 conv taps
+    woutT_ref,  # [128, C]   state_dtype — transposed fused readout
+    g_ref,      # [1, M, 128] f32 — output cotangent tile
+    dw9_ref,    # [9, C, C] f32 out — revisited accumulator
+    dwout_ref,  # [C, 128] f32 out — revisited accumulator
+    xwin_ref,   # [th+2, W_pad, C] window scratch (DMA target)
+    per_ref,    # [S_alloc, C] first-spike period
+    cnt_ref,    # [S_alloc, C] countdown (forward then reversed)
+    z_ref,      # [S_alloc, C] current step's encoder spikes
+    vd_ref,     # [T, M, C]    decayed LIF membranes from the replay
+    v_ref,      # [M, C]       LIF membrane (replay)
+    i_ref,      # [M, C]       LIF synaptic current (replay)
+    acc_ref,    # [M, C] f32   conv accumulator (replay)
+    ssum_ref,   # [M, C] f32   LI-weighted spike accumulator
+    gw_ref,     # [M, C] f32   g @ wout^T
+    lv_ref,     # [M, C] f32   membrane cotangent
+    lam_ref,    # [M, C] f32   current cotangent
+    dma_sem,
+    *,
+    num_steps: int,
+    n_th: int,
+    tile_h: int,
+    m_rows: int,
+    w_pad: int,
+):
+    dt = snnf.DT
+    tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
+    tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
+    alpha = float(snnf.LIF_PARAMS.alpha)
+    sd = v_ref.dtype
+    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(sd)))
+    enc_vth = float(snnf.ENCODER_PARAMS.v_th)
+
+    r = pl.program_id(0)
+    img = r // n_th
+    row0 = (r % n_th) * tile_h
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[img, pl.ds(row0, tile_h + 2), :, :], xwin_ref, dma_sem
+    )
+    dma.start()
+
+    @pl.when(r == 0)
+    def _init_outs():
+        dw9_ref[:] = jnp.zeros_like(dw9_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+
+    never = float(num_steps + 1)
+    per_ref[:] = jnp.full_like(per_ref, never)
+    for ref in (v_ref, i_ref, ssum_ref, lv_ref, lam_ref):
+        ref[:] = jnp.zeros_like(ref)
+
+    dma.wait()
+    # Phase 0: encoder periods (threshold count), chunked to bound the f32
+    # temporaries (CLAUDE.md: Mosaic accounts kernel-internal temps).
+    s_halo = (tile_h + 2) * w_pad
+    xflat = xwin_ref[:].reshape(s_halo, -1)
+    for c0 in range(0, s_halo, _PERIOD_CHUNK):
+        cl = min(_PERIOD_CHUNK, s_halo - c0)
+        xf = xflat[c0:c0 + cl].astype(jnp.float32)
+        p = jnp.ones_like(xf)
+        for m in range(num_steps):
+            p = p + (xf * thr_ref[m] <= enc_vth).astype(jnp.float32)
+        per_ref[_BASE + c0:_BASE + c0 + cl, :] = p.astype(sd)
+    cnt_ref[:] = per_ref[:]
+
+    # Phase 1: forward replay — countdown encoder, 9-tap conv, LIF; store
+    # each step's decayed membrane and the LI-weighted spike sum.
+    def replay(t, _):
+        c = cnt_ref[:] - 1.0
+        spike = c.astype(jnp.float32) < 0.5
+        cnt_ref[:] = jnp.where(spike, per_ref[:], c)
+        z_ref[:] = spike.astype(sd)
+
+        for k, (dy, dx) in enumerate(_TAPS):
+            start = _BASE + (1 + dy) * w_pad + dx
+            part = jnp.dot(
+                z_ref[start:start + m_rows, :], w9_ref[k],
+                preferred_element_type=jnp.float32,
+            )
+            if k == 0:
+                acc_ref[:] = part
+            else:
+                acc_ref[:] = acc_ref[:] + part
+
+        v_dec = v_ref[:] + tau_mem * (i_ref[:] - v_ref[:])
+        i_dec = i_ref[:] - tau_syn * i_ref[:]
+        vd_ref[pl.ds(t, 1)] = v_dec[None]
+        s = (v_dec.astype(jnp.float32) - v_th > 0)
+        v_ref[:] = jnp.where(s, 0.0, v_dec)
+        i_ref[:] = i_dec + acc_ref[:].astype(sd)
+        ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
+        return ()
+
+    jax.lax.fori_loop(0, num_steps, replay, ())
+
+    # Phase 2: reverse sweep. cnt_ref now holds c_T = p - (T mod p).
+    g = g_ref[0]
+    gw_ref[:] = jnp.dot(
+        g.astype(sd), woutT_ref[:], preferred_element_type=jnp.float32
+    )
+
+    def reverse(idx, _):
+        t = num_steps - 1 - idx
+        # Reversed countdown: spike iff c == p, then c <- 1 else c + 1.
+        d = cnt_ref[:]
+        spike = d.astype(jnp.float32) >= per_ref[:].astype(jnp.float32) - 0.5
+        cnt_ref[:] = jnp.where(spike, jnp.ones_like(d), d + 1.0)
+        z_ref[:] = spike.astype(sd)
+
+        # dc_t = lambda_i (cotangent of i_t): dw9[k] += z_shift^T @ dc.
+        dc = lam_ref[:].astype(sd)
+        for k, (dy, dx) in enumerate(_TAPS):
+            start = _BASE + (1 + dy) * w_pad + dx
+            dw9_ref[k] = dw9_ref[k] + jax.lax.dot_general(
+                z_ref[start:start + m_rows, :], dc,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        vd = vd_ref[pl.ds(t, 1)][0].astype(jnp.float32)
+        s = (vd - v_th > 0).astype(jnp.float32)
+        u = vd - v_th
+        sp = 1.0 / (alpha * jnp.abs(u) + 1.0) ** 2          # SuperSpike
+        ds = li_ref[t] * gw_ref[:] - vd * lv_ref[:]
+        dvd = (1.0 - s) * lv_ref[:] + ds * sp
+        lv_ref[:] = (1.0 - tau_mem) * dvd
+        lam_ref[:] = tau_mem * dvd + (1.0 - tau_syn) * lam_ref[:]
+        return ()
+
+    jax.lax.fori_loop(0, num_steps, reverse, ())
+
+    dwout_ref[:] = dwout_ref[:] + jax.lax.dot_general(
+        ssum_ref[:], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _run_level_bwd(
+    feat: jnp.ndarray,
+    w9: jnp.ndarray,
+    wout: jnp.ndarray,
+    do: jnp.ndarray,
+    db: jnp.ndarray,
+    num_steps: int,
+    state_dtype,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward pass of one level: cotangents (do, db) -> (dw9, dwout)."""
+    n, h, w, c = feat.shape
+    a5 = do.shape[-1] + db.shape[-1]
+    sz = jnp.dtype(state_dtype).itemsize
+    w_pad = _round_up(w + 2, 16)
+    th = _choose_tile_h_bwd(h, w_pad, c, sz, num_steps)
+    n_th = -(-h // th)
+    m_rows = th * w_pad
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
+
+    x_pad = jnp.pad(
+        feat.astype(state_dtype),
+        ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
+    )
+    # Cotangent tiles in the kernel's row-flattened layout (transpose of the
+    # forward's interior slice: padded rows/cols get zero cotangent).
+    g5 = jnp.concatenate([do, db], axis=-1).astype(jnp.float32)
+    g_tiles = jnp.pad(
+        g5, ((0, 0), (0, n_th * th - h), (1, w_pad - w - 1), (0, 128 - a5))
+    ).reshape(n * n_th, m_rows, 128)
+
+    a = 1.0 - snnf.DT * snnf.ENCODER_PARAMS.tau_mem_inv
+    thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
+    li_coef = _li_coefficients(num_steps)
+
+    kernel = functools.partial(
+        _rpn_level_bwd_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
+        m_rows=m_rows, w_pad=w_pad,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n * n_th,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, c, c), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, c, c), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w_pad, c), state_dtype),
+            pltpu.VMEM((s_alloc, c), state_dtype),
+            pltpu.VMEM((s_alloc, c), state_dtype),
+            pltpu.VMEM((s_alloc, c), state_dtype),
+            pltpu.VMEM((num_steps, m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.VMEM((m_rows, c), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dw9, dwout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(thresholds, jnp.asarray(li_coef), x_pad, w9.astype(state_dtype),
+      jnp.transpose(wout).astype(state_dtype), g_tiles)
+    return dw9, dwout
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _level_train(num_steps, num_anchors, state_dtype, interpret,
+                 feat, w9, wout):
+    """Differentiable fused RPN level (forward = the inference kernel)."""
+    return _run_level(feat, w9, wout, num_steps, num_anchors, state_dtype,
+                      interpret)
+
+
+def _level_train_fwd(num_steps, num_anchors, state_dtype, interpret,
+                     feat, w9, wout):
+    out = _run_level(feat, w9, wout, num_steps, num_anchors, state_dtype,
+                     interpret)
+    return out, (feat, w9, wout)
+
+
+def _level_train_bwd(num_steps, num_anchors, state_dtype, interpret,
+                     res, cts):
+    feat, w9, wout = res
+    do, db = cts
+    dw9, dwout = _run_level_bwd(
+        feat, w9, wout, do, db, num_steps, state_dtype, interpret
+    )
+    # Features are frozen by reference semantics (see module comment); a
+    # zero cotangent keeps the contract explicit if stop_gradient is ever
+    # removed upstream.
+    return (jnp.zeros_like(feat), dw9.astype(w9.dtype),
+            dwout.astype(wout.dtype))
+
+
+_level_train.defvjp(_level_train_fwd, _level_train_bwd)
+
+
+def rpn_head_snn_pallas_train_apply(
+    params,
+    features: List[jnp.ndarray],
+    num_steps: int,
+    state_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], None]:
+    """Differentiable drop-in for heads.rpn_head_snn_apply at training time.
+
+    Forward values are the fused Pallas kernel's; the custom backward kernel
+    reproduces the XLA scan's surrogate-gradient chain for the shared 3x3
+    conv and the 1x1 readouts (feature cotangents are zero — the backbone is
+    always frozen). Rates are not collected.
+    """
+    assert num_steps <= _MAX_T
+    n_anch = params["conv_cls"]["w"].shape[-1]
+    assert 5 * n_anch <= 128
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w_shared = params["shared_conv"]["w"]
+    c = w_shared.shape[2]
+    a = n_anch
+    w9 = w_shared.reshape(9, c, c)
+    wout = jnp.concatenate(
+        [params["conv_cls"]["w"], params["conv_bbox"]["w"]], axis=-1
+    ).reshape(c, 5 * a)
+    wout = jnp.pad(wout, ((0, 0), (0, 128 - 5 * a)))
+
+    logits, bbox_reg = [], []
+    for feat in features:
+        o, b = _level_train(num_steps, a, state_dtype, interpret,
+                            feat, w9, wout)
+        logits.append(o)
+        bbox_reg.append(b)
+    return logits, bbox_reg, None
 
 
 def rpn_head_snn_pallas_apply(

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from snn_automotive_object_detection_tpu.models import heads
 from snn_automotive_object_detection_tpu.snn.pallas_rpn import (
     rpn_head_snn_pallas_apply,
+    rpn_head_snn_pallas_train_apply,
 )
 
 
@@ -112,3 +113,56 @@ def test_pallas_rpn_mobilenet_anchor_count(rng):
     np.testing.assert_allclose(
         np.asarray(b_k[0]), np.asarray(b_ref[0]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_pallas_rpn_train_gradient_parity_f32(rng):
+    """Custom-VJP backward kernel vs autodiff through the XLA scan (f32).
+
+    Weight gradients must match: the encoder carries no parameters and the
+    features are frozen, so dL/d{shared_conv, conv_cls, conv_bbox} is the
+    complete gradient surface (reference trains exactly these,
+    train.py:149-200 with the backbone under no_grad).
+    """
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(4), 256, 3)
+    feats = _feats(rng, [(10, 18), (5, 9)], n=1)
+    ro = [jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+          for (h, w) in [(10, 18), (5, 9)]]
+    rb = [jnp.asarray(rng.normal(size=(1, h, w, 12)).astype(np.float32))
+          for (h, w) in [(10, 18), (5, 9)]]
+
+    def loss_xla(p):
+        o, b, _ = heads.rpn_head_snn_apply(
+            p, feats, 6, compute_dtype=jnp.float32, fast_encoder=True
+        )
+        return sum((oo * r).sum() for oo, r in zip(o, ro)) + \
+            sum((bb * r).sum() for bb, r in zip(b, rb))
+
+    def loss_pallas(p):
+        o, b, _ = rpn_head_snn_pallas_train_apply(
+            p, feats, 6, state_dtype=jnp.float32, interpret=True
+        )
+        return sum((oo * r).sum() for oo, r in zip(o, ro)) + \
+            sum((bb * r).sum() for bb, r in zip(b, rb))
+
+    g_ref = jax.grad(loss_xla)(params)
+    g_k = jax.grad(loss_pallas)(params)
+    for name in ("shared_conv", "conv_cls", "conv_bbox"):
+        a = np.asarray(g_ref[name]["w"])
+        k = np.asarray(g_k[name]["w"])
+        assert a.shape == k.shape
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(k / scale, a / scale, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_pallas_rpn_train_forward_matches_inference_kernel(rng):
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(5), 256, 3)
+    feats = _feats(rng, [(6, 10)], n=1)
+    o_t, b_t, _ = rpn_head_snn_pallas_train_apply(
+        params, feats, 4, state_dtype=jnp.float32, interpret=True
+    )
+    o_i, b_i, _ = rpn_head_snn_pallas_apply(
+        params, feats, 4, state_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o_t[0]), np.asarray(o_i[0]))
+    np.testing.assert_array_equal(np.asarray(b_t[0]), np.asarray(b_i[0]))
