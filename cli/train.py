@@ -385,9 +385,15 @@ def main(args):
 
     from snn_automotive_object_detection_tpu.parallel.mesh import (
         data_parallel_mesh,
+        init_distributed,
         replicate,
         shard_batch,
     )
+
+    # Multi-host bootstrap BEFORE any backend use (reference train.py calls
+    # utils.init_distributed_mode first; env/SLURM discovery, no-op when
+    # single-process). Idempotent — test harnesses may have initialised.
+    init_distributed()
     from snn_automotive_object_detection_tpu.train.optim import (
         build_optimizer,
         build_schedule,

@@ -47,12 +47,14 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
     # Precision.HIGHEST and its reduction order differs ~1e-5 — same rule as
     # the RoIAlign gate below). The f32 kernel variant remains reachable in
     # tests via state_dtype. Training uses the custom-VJP variant (Pallas
-    # backward kernel, gradient-parity-tested vs the XLA scan); rate
-    # collection stays on the XLA path.
+    # backward kernel, gradient-parity-tested vs the XLA scan). Eval-time
+    # rate collection runs IN-KERNEL (spike-count accumulators); the
+    # training+rates combination (--extract-spike-rates train) keeps the
+    # XLA scan.
     use_pallas_rpn = (
         getattr(config, "rpn_pallas", True)
         and config.rpn_snn
-        and not collect_rates
+        and not (collect_rates and training)
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
@@ -74,6 +76,7 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         def rpn_head_apply(features):
             return rpn_head_snn_pallas_apply(
                 params["rpn_head"], features, config.t_rpn, state_dtype=dtype,
+                collect_rates=collect_rates,
             )
     elif config.rpn_snn:
         def rpn_head_apply(features):

@@ -48,23 +48,22 @@ class DetectorConfig:
     compute_dtype: Any = jnp.bfloat16
     fpn_channels: int = 256
     representation_size: int = 1024
-    # Closed-form constant-current encoder (exact in real arithmetic; may
-    # flip fp-boundary spikes vs the step-by-step integration). Off by
-    # default: at XLA level the period map + integer mod cost more than the
-    # saved membrane traffic; it pays off inside fused Pallas kernels.
-    fast_encoder: bool = False
-    # Fused Pallas RPN head at inference (snn/pallas_rpn.py) — used on TPU
-    # only; training and rate collection always take the XLA scan path.
+    # Fused Pallas RPN head (snn/pallas_rpn.py) — TPU + bf16 only; eval and
+    # training (custom VJP); rate collection takes the XLA scan path.
     rpn_pallas: bool = True
     # Patch-based Pallas RoIAlign at inference (ops/pallas_roi_align.py) —
     # TPU + bf16 only; fp32 parity runs keep the XLA gather path.
     roi_pallas: bool = True
-    # Stacked-T fc6 GEMM for the spiking box head (identical spike trains;
-    # the 25.7 MB fc6 weight is read once, not per step). MEASURED SLOWER on
-    # v5e (23.0 vs 7.6 ms at R=2048, T=12): the uint8 period-map mods and
-    # z_all materialisation outweigh the saved weight re-streaming — the
-    # step-encoder scan is already at its HBM roofline. Kept off.
-    det_precompute_fc6: bool = False
+    # Design notes (round-3 housekeeping — the measured-slower alternates
+    # are no longer config surface, only documented head-level arguments):
+    #   * heads.*_apply(fast_encoder=True): closed-form encoder periods at
+    #     XLA level — SLOWER than step simulation on v5e (the period map +
+    #     integer mod cost more than the saved membrane traffic; the closed
+    #     form only pays inside the Pallas kernels, where it is a VMEM
+    #     countdown).
+    #   * heads.fastrcnn_snn_apply(precompute_fc6=True): stacked-T fc6 GEMM
+    #     — 23.0 vs 7.6 ms at R=2048/T=12; the step-encoder scan is already
+    #     at its HBM roofline.
 
     @property
     def bucket(self) -> Tuple[int, int]:

@@ -30,7 +30,12 @@ def init_distributed(
     """Multi-host bootstrap. Reads env (JAX coordinator / SLURM) like the
     reference read RANK/WORLD_SIZE/SLURM_PROCID (utils.py:273-283).
 
-    Returns True if distributed mode was initialised."""
+    Returns True if distributed mode was initialised (idempotent: callers
+    like tests may bootstrap before handing control to cli/train.main, which
+    also calls this)."""
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
     if num_processes is None:
         if "SLURM_NTASKS" in os.environ:
             num_processes = int(os.environ["SLURM_NTASKS"])
@@ -46,7 +51,11 @@ def init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    _initialized = True
     return True
+
+
+_initialized = False
 
 
 def is_main_process() -> bool:

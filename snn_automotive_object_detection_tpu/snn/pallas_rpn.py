@@ -35,12 +35,13 @@ stage (~28 of 73 ms). Here everything is VMEM-resident across all T steps:
     readout weights all stay in VMEM across the T-step loop.
 
 Numerics match the production XLA path (bf16 state, f32 MXU accumulation,
-same norse-0.0.7 update ordering as snn/functional.py). The kernel is
-forward-only; training uses the differentiable scan in models/heads.py.
-A float32 variant exists for parity testing (state_dtype=jnp.float32).
+same norse-0.0.7 update ordering as snn/functional.py). A float32 variant
+exists for parity testing (state_dtype=jnp.float32).
 
-Spike-rate collection intentionally stays on the XLA path (the energy
-analysis CLIs are not throughput-critical).
+Round-3 additions: eval-time spike-rate accumulators run in-kernel
+(collect_rates — two f32 reductions per step, so the energy CLIs get
+kernel speed), and TRAINING runs through a custom VJP whose backward is
+itself a Pallas kernel (see the "Training path" section below).
 """
 
 from __future__ import annotations
@@ -109,22 +110,30 @@ def _rpn_level_kernel(
     w9_ref,     # [9, C, C]  state_dtype — 3x3 conv taps (dy-major)
     wout_ref,   # [C, 128]   state_dtype — fused 1x1 readout (padded)
     out_ref,    # [1, M, 128] state_dtype — final LI membrane
-    xwin_ref,   # [th+2, W_pad, C] window scratch (DMA target)
-    per_ref,    # [S_alloc, C] first-spike period (T+1 == never)
-    cnt_ref,    # [S_alloc, C] countdown to next encoder spike
-    z_ref,      # [S_alloc, C] this step's encoder spikes
-    v_ref,      # [M, C]       LIF membrane
-    i_ref,      # [M, C]       LIF synaptic current
-    acc_ref,    # [M, C] f32   conv accumulator
-    ssum_ref,   # [M, C] f32   LI-weighted spike accumulator
-    dma_sem,
-    *,
+    *rest,      # [rate_ref [1, 8, 128] f32 when collect_rates] + scratches
     num_steps: int,
     n_th: int,
     tile_h: int,
     m_rows: int,
     w_pad: int,
+    h_img: int = 0,
+    w_img: int = 0,
+    collect_rates: bool = False,
 ):
+    # Scratches (after the optional rates output):
+    #   xwin_ref  [th+2, W_pad, C] window scratch (DMA target)
+    #   per_ref   [S_alloc, C] first-spike period (T+1 == never)
+    #   cnt_ref   [S_alloc, C] countdown to next encoder spike
+    #   z_ref     [S_alloc, C] this step's encoder spikes
+    #   v_ref     [M, C]       LIF membrane
+    #   i_ref     [M, C]       LIF synaptic current
+    #   acc_ref   [M, C] f32   conv accumulator
+    #   ssum_ref  [M, C] f32   LI-weighted spike accumulator
+    #   dma_sem
+    if collect_rates:
+        rate_ref, rest = rest[0], rest[1:]
+    (xwin_ref, per_ref, cnt_ref, z_ref, v_ref, i_ref, acc_ref, ssum_ref,
+     dma_sem) = rest
     dt = snnf.DT
     tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
     tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
@@ -163,7 +172,14 @@ def _rpn_level_kernel(
     per_ref[_BASE:_BASE + s_halo, :] = p.astype(sd)
     cnt_ref[:] = per_ref[:]
 
-    def step(t, _):
+    if collect_rates:
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad, 1), 0)
+        cloc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad, 1), 1)
+        valid_mask = ((rloc + row0 < h_img) & (cloc >= 1)
+                      & (cloc <= w_img)).astype(jnp.float32)
+
+    def step(t, carry):
+        zc, sc = carry
         # Encoder: countdown-to-spike. The compare runs in f32 — v5e Mosaic
         # lacks bf16 vector compares, and the bf16->f32 extension is exact.
         # (A compare-free max/fma formulation measured ~70% slower.)
@@ -199,13 +215,31 @@ def _rpn_level_kernel(
         # weighted spikes in f32 and run ONE readout matmul after the loop
         # instead of a matmul + 6 LI passes per step.
         ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
-        return ()
+        if collect_rates:
+            # Interior z slice = the (dy=0, dx=0) tap window; zero-padded
+            # features never spike, so the z sum is exact unmasked. The
+            # LIF spikes s are NOT: padding columns receive real conv
+            # input through the +-1 taps (harmless for the sliced output,
+            # garbage for a raw count) — mask to the valid (row, col)
+            # region (SURVEY §2.2 in-kernel spike-rate accumulators).
+            zin = z_ref[_BASE + w_pad:_BASE + w_pad + m_rows, :]
+            zc = zc + jnp.sum(zin.astype(jnp.float32))
+            sc = sc + jnp.sum(s.astype(jnp.float32).reshape(
+                tile_h, w_pad, -1) * valid_mask)
+        return (zc, sc)
 
-    jax.lax.fori_loop(0, num_steps, step, ())
+    zc, sc = jax.lax.fori_loop(0, num_steps, step, (0.0, 0.0))
     out_ref[0] = jnp.dot(
         ssum_ref[:], wout_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).astype(sd)
+    if collect_rates:
+        # [1, 8, 128] block (Mosaic requires the last two dims divisible by
+        # (8, 128)); the counts live at sublane 0, lanes 0/1, zeros elsewhere.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        rate_ref[:] = jnp.where((sub == 0) & (lane == 0), zc,
+                                jnp.where((sub == 0) & (lane == 1), sc, 0.0))
 
 
 def _li_coefficients(num_steps: int) -> np.ndarray:
@@ -229,11 +263,14 @@ def _run_level(
     num_anchors: int,
     state_dtype,
     interpret: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    collect_rates: bool = False,
+):
     """One FPN level through the fused kernel.
 
     feat: [N, H, W, C]; w9: [9, C, C]; wout: [C, 128] (A + 4A used cols).
-    Returns (objectness [N, H, W, A] f32, bbox [N, H, W, 4A] f32).
+    Returns (objectness [N, H, W, A] f32, bbox [N, H, W, 4A] f32) plus,
+    when collect_rates, (encoder_rate [N], shared_rate [N]) — mean
+    spikes/neuron/step in the reference convention (rpn.py:162-174).
     """
     n, h, w, c = feat.shape
     sz = jnp.dtype(state_dtype).itemsize
@@ -260,8 +297,18 @@ def _run_level(
 
     kernel = functools.partial(
         _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
-        m_rows=m_rows, w_pad=w_pad,
+        m_rows=m_rows, w_pad=w_pad, h_img=h, w_img=w,
+        collect_rates=collect_rates,
     )
+    out_specs = [pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype)]
+    if collect_rates:
+        # 8-sublane padded so the block satisfies Mosaic's (8, 128) rule;
+        # only (sublane 0, lanes 0/1) carry the two counts.
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n * n_th, 8, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n * n_th,),
@@ -272,8 +319,7 @@ def _run_level(
             pl.BlockSpec((c, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((th + 2, w_pad, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
@@ -286,18 +332,25 @@ def _run_level(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n * n_th, m_rows, 128), state_dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(thresholds, jnp.asarray(li_coef), x_pad,
       w9.astype(state_dtype), wout.astype(state_dtype))
+    out = outs[0]
 
     a_n = num_anchors
     mem = out.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a_n]
     mem = mem.reshape(n, n_th * th, w, 5 * a_n)[:, :h].astype(jnp.float32)
-    return mem[..., :a_n], mem[..., a_n:]
+    if not collect_rates:
+        return mem[..., :a_n], mem[..., a_n:]
+    counts = outs[1][:, 0].reshape(n, n_th, 128).sum(axis=1)  # [N, 128]
+    denom = float(num_steps * h * w * c)
+    enc_rate = counts[:, 0] / denom
+    shared_rate = counts[:, 1] / denom
+    return mem[..., :a_n], mem[..., a_n:], enc_rate, shared_rate
 
 
 # ====================================================================
@@ -657,11 +710,16 @@ def rpn_head_snn_pallas_apply(
     num_steps: int,
     state_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], None]:
+    collect_rates: bool = False,
+):
     """Drop-in inference replacement for heads.rpn_head_snn_apply.
 
-    Same outputs (objectness / bbox lists); rates are not collected (use the
-    XLA path for the energy analysis). Forward-only — no gradient rule.
+    Same outputs (objectness / bbox lists, rates). Spike-rate accumulators
+    run IN-KERNEL when collect_rates (two f32 reductions per step; the
+    energy-analysis CLIs get kernel-path speed — SURVEY §2.2 plan). The
+    rates dict matches the XLA path: {"encoder", "shared"}: [L, N].
+    Inference kernel is forward-only — training uses the custom-VJP
+    rpn_head_snn_pallas_train_apply.
     """
     assert num_steps <= _MAX_T, (
         f"threshold-count encoder supports T <= {_MAX_T}"
@@ -683,8 +741,17 @@ def rpn_head_snn_pallas_apply(
     wout = jnp.pad(wout, ((0, 0), (0, 128 - 5 * a)))
 
     logits, bbox_reg = [], []
+    enc_rates, shared_rates = [], []
     for feat in features:
-        o, b = _run_level(feat, w9, wout, num_steps, a, state_dtype, interpret)
-        logits.append(o)
-        bbox_reg.append(b)
-    return logits, bbox_reg, None
+        res = _run_level(feat, w9, wout, num_steps, a, state_dtype,
+                         interpret, collect_rates=collect_rates)
+        logits.append(res[0])
+        bbox_reg.append(res[1])
+        if collect_rates:
+            enc_rates.append(res[2])
+            shared_rates.append(res[3])
+    rates = None
+    if collect_rates:
+        rates = {"encoder": jnp.stack(enc_rates, axis=0),
+                 "shared": jnp.stack(shared_rates, axis=0)}  # [L, N]
+    return logits, bbox_reg, rates

@@ -1,6 +1,6 @@
 """Worker for tests/test_distributed.py: one real JAX process of two.
 
-Run as: python tests/distributed_worker.py <rank> <coordinator> <tmpdir>
+Run as: python tests/distributed_worker.py <rank> <coordinator> <tmpdir> [mode]
 
 Exercises the REAL multi-process paths that single-process CI can only
 short-circuit (reference analogs: utils.py:78-91 pickled all_gather,
@@ -14,16 +14,48 @@ utils.py:37-49 metric sync, utils.py:263-265 rank-0 saves, DDP train step):
     make_array_from_process_local_data path), loss identical on both ranks
   * collective orbax checkpoint write (all ranks) + rank-0 args.json +
     restore round-trip
+
+mode "evalcli" instead drives the USER-FACING eval: cli/train.py --test-only
+(compute_mean_avg_precision -> CocoEvaluator.synchronize_between_processes,
+reference train.py:271-314 + coco_eval.py:158-187) on the shared mini
+dataset under <tmpdir>, writing the 12 COCO stats to
+<tmpdir>/stats_rank<rank>.npy for the parent to compare with a 1-process run.
 """
 
 import os
 import sys
 
 
+def _eval_cli(rank: int, tmpdir: str):
+    """Run cli/train.py --test-only under this 2-process group."""
+    import numpy as np
+
+    from snn_automotive_object_detection_tpu.parallel.collectives import (
+        all_gather_objects,
+    )
+    from cli import train as cli_train
+
+    ds_yaml = os.path.join(tmpdir, "mini.yaml")
+    model_yaml = os.path.join(tmpdir, "model.yaml")
+    args = cli_train.get_args_parser().parse_args(
+        ["-d", ds_yaml, "--model-config", model_yaml, "--rpn-snn",
+         "--detector-snn", "-t-rpn", "2", "-t-det", "2", "-b", "1",
+         "-j", "1", "--fp32", "--test-only"])
+    stats = np.asarray(cli_train.main(args))
+    assert stats.shape == (12,), stats.shape
+    both = all_gather_objects(stats)
+    np.testing.assert_array_equal(both[0], both[1],
+                                  err_msg="stats differ across ranks")
+    np.save(os.path.join(tmpdir, f"stats_rank{rank}.npy"), stats)
+    print(f"[rank {rank}] eval CLI OK")
+    print(f"[rank {rank}] ALL OK")
+
+
 def main():
     rank = int(sys.argv[1])
     coordinator = sys.argv[2]
     tmpdir = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
@@ -46,6 +78,10 @@ def main():
     assert init_distributed(), "env discovery failed"
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == rank
+
+    if mode == "evalcli":
+        _eval_cli(rank, tmpdir)
+        return
 
     import numpy as np
     import jax.numpy as jnp

@@ -12,60 +12,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cli import train as cli_train
 
 
+from tests.mini_dataset import make_mini_env
+
+
 @pytest.fixture(scope="module")
 def mini_env(tmp_path_factory):
-    import cv2
+    import pathlib
 
-    tmp = tmp_path_factory.mktemp("mini")
-    rng = np.random.default_rng(0)
-    img_dir = tmp / "images"
-    img_dir.mkdir()
-    images, annotations = [], []
-    aid = 1
-    for i in range(1, 5):
-        h, w = 128, 256
-        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
-        cv2.imwrite(str(img_dir / f"{i}.png"), img)
-        images.append({"id": i, "file_name": f"{i}.png", "height": h, "width": w})
-        for _ in range(2):
-            x, y = rng.uniform(0, w - 80), rng.uniform(0, h - 60)
-            bw, bh = rng.uniform(30, 60), rng.uniform(20, 50)
-            annotations.append({"id": aid, "image_id": i, "bbox": [x, y, bw, bh],
-                                "category_id": int(rng.integers(1, 4)),
-                                "area": bw * bh, "iscrowd": 0})
-            aid += 1
-    ann_file = tmp / "ann.json"
-    ann_file.write_text(json.dumps({
-        "images": images, "annotations": annotations,
-        "categories": [{"id": c, "name": f"c{c}"} for c in (1, 2, 3)],
-    }))
-
-    ds_yaml = tmp / "mini.yaml"
-    ds_yaml.write_text(f"""
-dataset: cityscapes
-images_dir: {img_dir}
-ann_file_train: {ann_file}
-ann_file_val: {ann_file}
-out_dir: {tmp / 'out'}
-num_classes: 4
-classes: {{0: background, 1: c1, 2: c2, 3: c3}}
-known_classes:
-  - {{id: 0, orig_id: 0, name: background}}
-  - {{id: 1, orig_id: 3, name: c3}}
-""")
-    model_yaml = tmp / "model.yaml"
-    model_yaml.write_text("""
-transform: {min_size: 64, max_size: 128}
-RPN:
-  rpn_pre_nms_top_n_train: 64
-  rpn_pre_nms_top_n_test: 64
-  rpn_post_nms_top_n_train: 32
-  rpn_post_nms_top_n_test: 32
-ROIHeads:
-  box_batch_size_per_image: 16
-  box_detections_per_img: 8
-""")
-    return tmp, str(ds_yaml), str(model_yaml)
+    tmp, ds_yaml, model_yaml = make_mini_env(tmp_path_factory.mktemp("mini"))
+    return pathlib.Path(tmp), ds_yaml, model_yaml
 
 
 def make_args(mini_env, *extra):

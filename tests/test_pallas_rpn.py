@@ -166,3 +166,31 @@ def test_pallas_rpn_train_forward_matches_inference_kernel(rng):
     )
     np.testing.assert_array_equal(np.asarray(o_t[0]), np.asarray(o_i[0]))
     np.testing.assert_array_equal(np.asarray(b_t[0]), np.asarray(b_i[0]))
+
+
+def test_pallas_rpn_in_kernel_rates_match_xla(rng):
+    """In-kernel spike-rate accumulators equal the XLA path's rates.
+
+    f32 + fast_encoder gives identical spike trains, so the counts must
+    match to float-sum tolerance (VERDICT r2 Missing #3 / SURVEY §2.2).
+    """
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(6), 256, 3)
+    feats = _feats(rng, [(10, 18), (5, 9)])
+
+    o_ref, b_ref, r_ref = heads.rpn_head_snn_apply(
+        params, feats, 8, compute_dtype=jnp.float32, fast_encoder=True,
+        collect_rates=True,
+    )
+    o_k, b_k, r_k = rpn_head_snn_pallas_apply(
+        params, feats, 8, state_dtype=jnp.float32, interpret=True,
+        collect_rates=True,
+    )
+    assert r_k is not None and set(r_k) == {"encoder", "shared"}
+    for key in ("encoder", "shared"):
+        got, want = np.asarray(r_k[key]), np.asarray(r_ref[key])
+        assert got.shape == want.shape == (2, 2)
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=key)
+    assert np.asarray(r_k["encoder"]).max() > 0.01
+    # outputs unchanged by the rates variant
+    np.testing.assert_allclose(np.asarray(o_k[0]), np.asarray(o_ref[0]),
+                               atol=1e-5, rtol=1e-5)

@@ -241,3 +241,37 @@ def test_spike_rate_parity_box_head(scaled_mirror, both_outputs):
         np.testing.assert_allclose(np.asarray(got[key]), want[key].numpy(),
                                    atol=1e-3)
     assert want["fc6"].numpy().mean() > 0.02, "fc6 never spiked"
+
+
+def test_pre_nms_proposal_parity(both_outputs):
+    """Pre-NMS {proposals, objectness} (the new-object-discovery fields,
+    generalized_rcnn.py:124-132) match per level with NO tie exclusions.
+
+    Replaces test_parity_torch.py's tie-tolerant full-pipeline test
+    (round-2 VERDICT Weak #4): with the scaled fixture every FPN level
+    spikes, so all 420 pre-NMS scores are distinct (verified: zero scores
+    at the 0.5 no-spike fixed point) and a sort-by-score comparison is
+    exact.
+    """
+    torch_out, jax_det = both_outputs
+    # Per-level pre-NMS take counts for 128x256 input, 100 per level.
+    level_hw = [(32, 64), (16, 32), (8, 16), (4, 8), (2, 4)]
+    counts = [min(100, h * w * 3) for h, w in level_hw]
+    for i, tout in enumerate(torch_out):
+        want_p = tout["pre_nms_proposals"].numpy()
+        want_s = tout["pre_nms_scores"].numpy()
+        got_p = jax_det["proposals"][i]
+        got_s = jax_det["objectness"][i]
+        assert got_p.shape == want_p.shape
+        # no score may sit at the tie fixed point
+        assert (np.abs(got_s - 0.5) > 1e-6).all()
+        off = 0
+        for lvl, cnt in enumerate(counts):
+            gs, gp = got_s[off:off + cnt], got_p[off:off + cnt]
+            ws, wp = want_s[off:off + cnt], want_p[off:off + cnt]
+            go, wo = np.argsort(-gs), np.argsort(-ws)
+            np.testing.assert_allclose(gs[go], ws[wo], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"level {lvl}")
+            np.testing.assert_allclose(gp[go], wp[wo], rtol=1e-3,
+                                       atol=5e-2, err_msg=f"level {lvl}")
+            off += cnt

@@ -112,77 +112,3 @@ def test_roi_align_and_box_head_parity(mirror_and_params, rng):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_reg), want_reg.numpy(),
                                rtol=1e-3, atol=1e-4)
-
-
-def test_full_pipeline_proposal_parity(mirror_and_params, rng):
-    """End-to-end RPN: proposals from both stacks should agree."""
-    from snn_automotive_object_detection_tpu.models.factory import DetectorConfig
-    from snn_automotive_object_detection_tpu.models.detector import detector_apply
-    from snn_automotive_object_detection_tpu.models.rpn import RPNConfig
-    from snn_automotive_object_detection_tpu.models.roi_heads import RoIConfig
-
-    mirror, params = mirror_and_params
-    mirror.pre_nms = 100
-    mirror.post_nms = 50
-    mirror.score_thresh = 0.05
-    # More steps so the encoder->LIF->LI chain actually fires at realistic
-    # feature magnitudes (restored below — the fixture is module-scoped).
-    t_steps = 6
-    old_t = (mirror.rpn.head.num_steps,
-             mirror.roi_heads.box_head_and_predictor.num_steps)
-    mirror.rpn.head.num_steps = t_steps
-    mirror.roi_heads.box_head_and_predictor.num_steps = t_steps
-
-    x = rng.uniform(0, 1, (1, 3, 128, 256)).astype(np.float32)
-    with torch.no_grad():
-        out_t = mirror(torch.as_tensor(x), (128, 256))
-    mirror.rpn.head.num_steps, mirror.roi_heads.box_head_and_predictor.num_steps = old_t
-
-    cfg = DetectorConfig(
-        num_classes=5, rpn_snn=True, detector_snn=True, t_rpn=t_steps, t_det=t_steps,
-        min_size=128, max_size=256,
-        image_mean=(0.2869, 0.3251, 0.2839), image_std=(0.1870, 0.1902, 0.1872),
-        rpn=RPNConfig(pre_nms_top_n_test=100, post_nms_top_n_test=50),
-        roi=RoIConfig(score_thresh=0.05),
-        compute_dtype=jnp.float32,
-    )
-    batch = {
-        "images": jnp.asarray(x.transpose(0, 2, 3, 1)),
-        "image_sizes": jnp.asarray([[128, 256]], jnp.int32),
-        "original_sizes": jnp.asarray([[128, 256]], jnp.int32),
-    }
-    det, _ = detector_apply(params, batch, cfg, training=False)
-
-    # With random weights the class scores are near-uniform, so post-NMS
-    # detection sets are tie-chaotic — compare at the tie-free pre-NMS
-    # proposal stage instead (objectness values are well separated).
-    got_props = np.asarray(det["proposals"])[0]
-    got_obj = np.asarray(det["objectness"])[0]
-    want_props = out_t["pre_nms_proposals"].numpy()
-    want_obj = out_t["pre_nms_scores"].numpy()
-
-    assert got_props.shape == want_props.shape
-    # Precondition: objectness must actually vary, otherwise the top-k
-    # selection is a pure tie-break and the set comparison is meaningless.
-    assert np.std(got_obj) > 1e-3, "degenerate RPN output (no spikes?)"
-    # Score distributions must match exactly (sorted, tolerance for fp).
-    np.testing.assert_allclose(np.sort(got_obj), np.sort(want_obj),
-                               rtol=1e-3, atol=1e-4)
-    # FPN levels the SNN never spiked on emit exactly-0 logits -> score 0.5
-    # for thousands of anchors, so their top-k is a pure tie-break that may
-    # legitimately differ. Compare only distinguishable proposals.
-    from scipy.spatial import cKDTree
-
-    g_sel = np.abs(got_obj - 0.5) > 1e-3
-    w_sel = np.abs(want_obj - 0.5) > 1e-3
-    assert g_sel.sum() == w_sel.sum()
-    assert g_sel.sum() > 50, "not enough non-tied proposals to compare"
-    tree = cKDTree(want_props[w_sel])
-    dist, _ = tree.query(got_props[g_sel], k=1)
-    frac = (dist < 0.5).mean()
-    assert frac >= 0.99, f"only {frac:.3f} of proposals matched"
-
-    # Final detection COUNT should at least agree.
-    d = cfg.roi.detections_per_img
-    got_valid = np.asarray(det["valid"])[0][:d]
-    assert got_valid.sum() == len(out_t["boxes"])
