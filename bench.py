@@ -60,10 +60,20 @@ def main():
         )
     h, w = config.bucket
 
+    # The production loader emits the planar s2d layout for the fused
+    # Pallas stem host-side (data/loader.py planar=True); here the random
+    # inputs are planarized on device once, outside the timed loop.
+    from snn_automotive_object_detection_tpu.models.detector import (
+        wants_planar_input,
+    )
+
+    planar = wants_planar_input(config)
+    img_key = "images_p" if planar else "images"
+
     @jax.jit
     def run(params, images):
         b = {
-            "images": images,
+            img_key: images,
             "image_sizes": jnp.asarray([[h, w]] * batch, jnp.int32),
             "original_sizes": jnp.asarray([[1024, 2048]] * batch, jnp.int32),
         }
@@ -75,6 +85,13 @@ def main():
         jax.random.uniform(jax.random.fold_in(key, i), (batch, h, w, 3), jnp.float32)
         for i in range(4)
     ]
+    if planar:
+        from snn_automotive_object_detection_tpu.ops.pallas_stem import (
+            planarize_image,
+        )
+
+        plan = jax.jit(lambda x: planarize_image(x, config.image_mean))
+        images = [plan(x) for x in images]
 
     import numpy as np
 

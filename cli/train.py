@@ -152,6 +152,9 @@ def build_everything(args):
         eval_transform,
         train_transform,
     )
+    from snn_automotive_object_detection_tpu.models.detector import (
+        wants_planar_input,
+    )
     from snn_automotive_object_detection_tpu.models.factory import create_model
     from snn_automotive_object_detection_tpu.utils.config import (
         load_dataset_config,
@@ -207,6 +210,10 @@ def build_everything(args):
             # by repeating images, which would bias gradients; drop it for
             # training (shuffle rotates which images are dropped per epoch).
             drop_last=training,
+            # Emit the planar s2d layout for the fused Pallas stem when the
+            # model will consume it (models/detector.py wants_planar_input).
+            planar=wants_planar_input(config),
+            image_mean=config.image_mean,
         )
         return ds, loader
 
@@ -217,10 +224,15 @@ def to_device_batch(batch, with_targets):
     import jax.numpy as jnp
 
     out = {
-        "images": jnp.asarray(batch["images"]),
         "image_sizes": jnp.asarray(batch["image_sizes"]),
         "original_sizes": jnp.asarray(batch["original_sizes"]),
     }
+    # The device needs only ONE pixel layout: the planar s2d one when the
+    # Pallas stem is active (the loader emits it exactly then), else raw.
+    if "images_p" in batch:
+        out["images_p"] = jnp.asarray(batch["images_p"])
+    else:
+        out["images"] = jnp.asarray(batch["images"])
     if with_targets and "targets" in batch:
         out["targets"] = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
     return out

@@ -90,6 +90,8 @@ class DetectionLoader:
         num_workers: int = 4,
         shard: Tuple[int, int] = (0, 1),
         drop_last: bool = False,
+        planar: bool = False,
+        image_mean: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -102,6 +104,12 @@ class DetectionLoader:
         self.num_workers = max(1, num_workers)
         self.shard = shard
         self.drop_last = drop_last
+        # planar=True additionally emits "images_p" — the rows-outermost
+        # planar s2d layout the fused Pallas stem consumes
+        # (ops/pallas_stem.py planarize_image_np; models/detector.py
+        # wants_planar_input decides). image_mean fills its border-pad rows.
+        self.planar = planar
+        self.image_mean = image_mean
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -218,6 +226,12 @@ class DetectionLoader:
                 "image_ids": image_ids,
                 "pad_mask": pad_mask,
             }
+            if self.planar:
+                from snn_automotive_object_detection_tpu.ops.pallas_stem import (
+                    planarize_image_np,
+                )
+
+                batch["images_p"] = planarize_image_np(images, self.image_mean)
             if self.with_targets:
                 batch["targets"] = pack_targets([it[1] for it in items])
             yield batch

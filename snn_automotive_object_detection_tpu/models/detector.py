@@ -36,6 +36,22 @@ from snn_automotive_object_detection_tpu.models.transform import (
 from snn_automotive_object_detection_tpu.ops.anchors import generate_anchors
 
 
+def wants_planar_input(config, bucket=None) -> bool:
+    """True when detector_apply would use the fused Pallas stem
+    (ops/pallas_stem.py) if the batch carried the planar s2d image layout.
+    The host loader (DetectionLoader planar=...) and bench use this to
+    decide whether to emit ``images_p``."""
+    hb, wb = bucket if bucket is not None else config.bucket
+    return (
+        getattr(config, "stem_pallas", True)
+        and getattr(config, "backbone", "resnet50_fpn") == "resnet50_fpn"
+        and config.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and hb % 8 == 0
+        and wb % 256 == 0
+    )
+
+
 def make_head_applies(config, params, collect_rates: bool, training: bool = False):
     """Bind head apply functions for the configured (SNN / ANN) variants."""
     dtype = config.compute_dtype
@@ -133,18 +149,59 @@ def detector_apply(
                capacity) incl. NOD fields; losses == {}
       train -> detections == {} (plus optional rates); 4-entry losses dict
     """
-    images = batch["images"]
+    is_resnet = getattr(config, "backbone", "resnet50_fpn") == "resnet50_fpn"
+    # Fused Pallas stem (ops/pallas_stem.py): TPU + bf16 + ResNet only —
+    # same gating rule as the other kernels (--fp32 keeps the XLA chain).
+    # It consumes the RAW image in planar s2d layout (normalization is
+    # folded into its weights); the loader/bench provide batch["images_p"]
+    # directly, otherwise we planarize at XLA level (slower fallback).
+    # The planar layout must come from the host loader (DetectionLoader
+    # planar=True / bench.py): planarizing on device costs 6.4 ms — more
+    # than the whole XLA stem — so without images_p we keep the XLA chain.
+    use_pallas_stem = (
+        getattr(config, "stem_pallas", True)
+        and is_resnet
+        and config.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and "images_p" in batch
+    )
+
+    if "images" in batch:
+        images = batch["images"]
+    else:
+        from snn_automotive_object_detection_tpu.ops.pallas_stem import (
+            unplanarize_image,
+        )
+
+        images = unplanarize_image(batch["images_p"])
     n, hb, wb, _ = images.shape
     bucket = (hb, wb)
+    # Kernel layout constraints (ops/pallas_stem.py: hs % 4, ws % 128)
+    use_pallas_stem = use_pallas_stem and hb % 8 == 0 and wb % 256 == 0
 
-    x = normalize_images(images, config.image_mean, config.image_std)
-    if getattr(config, "backbone", "resnet50_fpn") == "resnet50_fpn":
+    if use_pallas_stem:
+        from snn_automotive_object_detection_tpu.models.resnet_fpn import (
+            resnet50_fpn_apply_from_p1,
+        )
+        from snn_automotive_object_detection_tpu.ops.pallas_stem import (
+            stem_pallas_apply,
+        )
+
+        xp = batch["images_p"]
+        p1 = stem_pallas_apply(
+            params["backbone"]["stem"], xp,
+            config.image_mean, config.image_std,
+        )
+        feats = resnet50_fpn_apply_from_p1(params["backbone"], p1)
+    elif is_resnet:
+        x = normalize_images(images, config.image_mean, config.image_std)
         feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
     else:
         from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
             mobilenet_v3_fpn_apply,
         )
 
+        x = normalize_images(images, config.image_mean, config.image_std)
         feats = mobilenet_v3_fpn_apply(params["backbone"], x, config.compute_dtype)
     # Features stay in compute_dtype (bf16): RoIAlign gathers and the SNN
     # heads are HBM-bandwidth-bound. Backbone is always frozen

@@ -172,7 +172,16 @@ def resnet50_fpn_apply(
     ].astype(y.dtype)
     y = jax.nn.relu(y)
     y = _max_pool(y, 3, 2, (1, 1))
+    return resnet50_fpn_apply_from_p1(params, y)
 
+
+def resnet50_fpn_apply_from_p1(
+    params: Dict[str, Any], y: jnp.ndarray
+) -> List[jnp.ndarray]:
+    """Layers 1-4 + FPN from the stem/pool output [N, H/4, W/4, 64].
+
+    Split out so the fused Pallas stem (ops/pallas_stem.py — TPU bf16
+    inference) can replace the stem stage above and feed the rest."""
     cs = []
     for stage in range(4):
         blocks = params[f"layer{stage + 1}"]
