@@ -145,6 +145,25 @@ def fastrcnn_loss(
 # ------------------------------------------------------------- inference
 
 
+def _per_class_nms(boxes, scores, valid, nms_thresh):
+    """Per-class NMS over [P, C', ...] inputs, returning the flat p-major
+    [P*C'] keep mask (matching ``reshape(-1)`` of the per-class arrays).
+
+    Suppression never crosses classes (torchvision batched_nms with label
+    ids, roi_heads.py:1160), so one vmapped NMS per class replaces a single
+    NMS over the P*C' concatenation: serial depth P/B blocks instead of
+    P*C'/B. Greedy results are identical — argsort is stable, so the
+    within-class tie order matches the flat sort's."""
+    keep_pc = jax.vmap(
+        lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)[0]
+    )(
+        jnp.transpose(boxes, (1, 0, 2)),
+        jnp.transpose(scores, (1, 0)),
+        jnp.transpose(valid, (1, 0)),
+    )
+    return jnp.transpose(keep_pc, (1, 0)).reshape(-1)
+
+
 def postprocess_detections(
     class_logits: jnp.ndarray,
     box_regression: jnp.ndarray,
@@ -184,9 +203,8 @@ def postprocess_detections(
 
     above = fg_scores > cfg.score_thresh
     fg_valid = above & fg_prop_valid & box_ops.small_box_mask(fg_boxes, cfg.min_size)
-    fg_keep, _ = nms_ops.nms_mask(
-        fg_boxes, fg_scores, fg_valid, cfg.nms_thresh, groups=fg_labels
-    )
+    fg_keep = _per_class_nms(boxes[:, 1:, :], scores[:, 1:],
+                             fg_valid.reshape(p, c - 1), cfg.nms_thresh)
     d = cfg.detections_per_img
     fg_idx, fg_out_valid = nms_ops.topk_after_nms(fg_scores, fg_keep, d)
 
@@ -246,9 +264,8 @@ def postprocess_detections_ann(
         & fg_prop_valid
         & box_ops.small_box_mask(fg_boxes, cfg.min_size)
     )
-    keep, _ = nms_ops.nms_mask(
-        fg_boxes, fg_scores, fg_valid, cfg.nms_thresh, groups=fg_labels
-    )
+    keep = _per_class_nms(boxes[:, 1:, :], scores[:, 1:],
+                          fg_valid.reshape(p, c - 1), cfg.nms_thresh)
     idx, out_valid = nms_ops.topk_after_nms(fg_scores, keep, cfg.detections_per_img)
     return {
         "boxes": jnp.where(out_valid[:, None], fg_boxes[idx], 0.0),

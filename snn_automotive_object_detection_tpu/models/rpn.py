@@ -109,13 +109,14 @@ def select_pre_nms(
 def filter_proposals(
     proposals: jnp.ndarray,
     objectness: jnp.ndarray,
-    levels: jnp.ndarray,
+    level_sizes: List[int],
     image_sizes: jnp.ndarray,
     cfg: RPNConfig,
     training: bool,
 ):
     """Clip/filter/NMS per image. proposals: [N, S, 4]; objectness: [N, S]
-    (raw logits); levels: [S]; image_sizes: [N, 2] (h, w).
+    (raw logits); level_sizes: static per-level row counts summing to S;
+    image_sizes: [N, 2] (h, w).
 
     Returns dict with fixed-size outputs:
       boxes [N, P, 4], scores [N, P], valid [N, P]  (P = post_nms_top_n)
@@ -123,12 +124,34 @@ def filter_proposals(
     """
     post_n = cfg.post_nms_top_n(training)
     scores = jax.nn.sigmoid(objectness)
+    smax = max(level_sizes)
+    n_levels = len(level_sizes)
 
     def per_image(props, scr, size):
         boxes = box_ops.clip_boxes_to_image(props, (size[0], size[1]))
         valid = box_ops.small_box_mask(boxes, cfg.min_size)
         valid = valid & (scr >= cfg.score_thresh)
-        keep, _ = nms_ops.nms_mask(boxes, scr, valid, cfg.nms_thresh, groups=levels)
+        # Suppression never crosses levels (torchvision batched_nms with
+        # lvl ids, rpn.py:517), so instead of one NMS over the level-
+        # concatenated S rows (S/B serial blocks) run one independent NMS
+        # per level, vmapped: serial depth smax/B. Identical greedy
+        # results — argsort is stable, so within-level tie order matches
+        # the concatenated sort's.
+        bs = jnp.zeros((n_levels, smax, 4), boxes.dtype)
+        ss = jnp.zeros((n_levels, smax), scr.dtype)
+        vs = jnp.zeros((n_levels, smax), bool)
+        off = 0
+        for lvl, k in enumerate(level_sizes):
+            bs = bs.at[lvl, :k].set(boxes[off:off + k])
+            ss = ss.at[lvl, :k].set(scr[off:off + k])
+            vs = vs.at[lvl, :k].set(valid[off:off + k])
+            off += k
+        keep_lv, _ = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, cfg.nms_thresh)
+        )(bs, ss, vs)
+        keep = jnp.concatenate(
+            [keep_lv[lvl, :k] for lvl, k in enumerate(level_sizes)], axis=0
+        )
         idx, out_valid = nms_ops.topk_after_nms(scr, keep, post_n)
         return boxes[idx], scr[idx], out_valid
 
@@ -235,16 +258,17 @@ def rpn_forward(
     assert counts == list(level_counts), (counts, level_counts)
 
     obj_sg = jax.lax.stop_gradient(objectness)
-    obj_sel, idx_sel, levels = select_pre_nms(
+    obj_sel, idx_sel, _ = select_pre_nms(
         obj_sg, counts, cfg.pre_nms_top_n(training)
     )
+    takes = [min(cfg.pre_nms_top_n(training), k) for k in counts]
     # Decode ONLY the selected anchors (identical results to decode-all:
     # selection reads objectness alone; torchvision's order, rpn.py:434-446).
     deltas_sel = jnp.take_along_axis(
         jax.lax.stop_gradient(pred_deltas), idx_sel[..., None], axis=1
     )
     prop_sel = box_ops.decode_boxes(deltas_sel, anchors[idx_sel])
-    out = filter_proposals(prop_sel, obj_sel, levels, image_sizes, cfg, training)
+    out = filter_proposals(prop_sel, obj_sel, takes, image_sizes, cfg, training)
     out["rates"] = rates
 
     losses: Dict[str, jnp.ndarray] = {}

@@ -50,3 +50,24 @@ def test_topk_after_nms(rng):
 
     idx, valid = N.topk_after_nms(jnp.asarray(scores), jnp.asarray(keep), 4)
     assert np.asarray(valid).tolist() == [True, True, True, False]
+
+
+def test_per_class_nms_matches_grouped(rng):
+    """roi_heads._per_class_nms (vmapped per-class NMS) must equal the
+    grouped single-call formulation it replaced."""
+    from snn_automotive_object_detection_tpu.models.roi_heads import (
+        _per_class_nms,
+    )
+
+    p, c = 40, 3
+    boxes = np.stack([random_boxes(rng, p, size=120) for _ in range(c)], 1)
+    scores = rng.uniform(0, 1, (p, c)).astype(np.float32)
+    valid = rng.uniform(size=(p, c)) > 0.2
+    got = np.asarray(
+        _per_class_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(valid), 0.5)
+    )
+    labels = np.broadcast_to(np.arange(c)[None, :], (p, c)).reshape(-1)
+    want, _ = run_nms(boxes.reshape(-1, 4), scores.reshape(-1),
+                      valid.reshape(-1), 0.5, labels)
+    assert got.tolist() == want.tolist()
