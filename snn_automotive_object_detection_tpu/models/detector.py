@@ -204,9 +204,11 @@ def detector_apply(
         x = normalize_images(images, config.image_mean, config.image_std)
         feats = mobilenet_v3_fpn_apply(params["backbone"], x, config.compute_dtype)
     # Features stay in compute_dtype (bf16): RoIAlign gathers and the SNN
-    # heads are HBM-bandwidth-bound. Backbone is always frozen
-    # (generalized_rcnn.py:93-94).
-    feats = [jax.lax.stop_gradient(f) for f in feats]
+    # heads are HBM-bandwidth-bound. Backbone is frozen by reference
+    # semantics (generalized_rcnn.py:93-94) unless the train_backbone
+    # extension is enabled (see factory.DetectorConfig).
+    if not (training and getattr(config, "train_backbone", False)):
+        feats = [jax.lax.stop_gradient(f) for f in feats]
 
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_levels = generate_anchors(shapes, bucket, config.anchor_spec)

@@ -57,6 +57,13 @@ class DetectorConfig:
     # Fused Pallas ResNet stem (ops/pallas_stem.py) — TPU + bf16 only, and
     # only when the batch carries the host-planarized "images_p" layout.
     stem_pallas: bool = True
+    # EXTENSION (default False = reference parity): let gradients reach the
+    # backbone at training time. The reference always runs the backbone
+    # under no_grad (generalized_rcnn.py:93-94) because it starts from
+    # COCO-pretrained weights; in pretrained-weight-free environments
+    # (tools/make_bench_weights.py) a frozen RANDOM backbone cannot learn
+    # a working detector, so the synthetic-weights tool flips this.
+    train_backbone: bool = False
     # Design notes (round-3 housekeeping — the measured-slower alternates
     # are no longer config surface, only documented head-level arguments):
     #   * heads.*_apply(fast_encoder=True): closed-form encoder periods at

@@ -107,6 +107,11 @@ def _conv(x, w, stride=1, padding=None):
     # default for f32 operands is bf16-pass multiplication).
     precision = (jax.lax.Precision.HIGHEST
                  if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    # Emit the operand dtype (not preferred_element_type=f32): XLA still
+    # accumulates in f32 on the MXU and every caller rounds to x.dtype
+    # anyway, while a f32 cotangent would break conv_general_dilated's
+    # transpose rule under bf16 train_backbone (same fix as heads._linear,
+    # measured identical forward values).
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -114,8 +119,8 @@ def _conv(x, w, stride=1, padding=None):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,
+    )
 
 
 def _conv_bn(x, p, stride=1, relu=True):

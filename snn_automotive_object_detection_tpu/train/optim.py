@@ -76,19 +76,23 @@ def split_trainable(
     freeze_fpn: bool = False,
     freeze_rpn: bool = False,
     freeze_detector: bool = False,
+    train_backbone: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Partition the param tree into (trainable, frozen) by module.
 
     The ResNet body is always frozen; --freeze-fpn additionally freezes the
     FPN convs; --freeze-rpn / --freeze-detector freeze the heads
-    (train.py:679-700).
+    (train.py:679-700). train_backbone (extension, see
+    factory.DetectorConfig) moves the body into the trainable set — only
+    useful together with the config flag of the same name, which stops the
+    detector from stop_gradient-ing the features.
     """
     trainable: Dict[str, Any] = {}
     frozen: Dict[str, Any] = {}
 
     bb = dict(params["backbone"])
     fpn = bb.pop("fpn")
-    frozen["backbone"] = bb
+    (trainable if train_backbone else frozen)["backbone"] = bb
     if freeze_fpn:
         frozen["backbone_fpn"] = fpn
     else:

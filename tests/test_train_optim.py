@@ -88,3 +88,85 @@ def test_optimizer_updates_only_trainable():
     a = jax.tree_util.tree_leaves(tr)[0]
     b = jax.tree_util.tree_leaves(new_tr)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_backbone_extension_grads_flow():
+    """train_backbone=True (factory.DetectorConfig extension) must route
+    gradients into the ResNet body; default keeps them zero (reference
+    no_grad semantics, generalized_rcnn.py:93-94)."""
+    import dataclasses
+
+    from snn_automotive_object_detection_tpu.models.detector import (
+        detector_apply,
+    )
+
+    cfg = DetectorConfig(num_classes=3, t_rpn=2, t_det=2,
+                         min_size=64, max_size=128, compute_dtype=jnp.float32,
+                         rpn_pallas=False, roi_pallas=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3)),
+        "image_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "original_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]]),
+            "labels": jnp.asarray([[1]], jnp.int32),
+            "valid": jnp.asarray([[True]]),
+        },
+    }
+
+    def loss(params, config):
+        _, losses = detector_apply(params, batch, config, training=True,
+                                   rng=jax.random.PRNGKey(2))
+        return sum(losses.values())
+
+    g_frozen = jax.grad(loss)(params, cfg)
+    g_train = jax.grad(loss)(
+        params, dataclasses.replace(cfg, train_backbone=True)
+    )
+    stem_frozen = np.abs(np.asarray(g_frozen["backbone"]["stem"]["w"])).sum()
+    stem_train = np.abs(np.asarray(g_train["backbone"]["stem"]["w"])).sum()
+    assert stem_frozen == 0.0
+    assert stem_train > 0.0
+
+    tr, fr = split_trainable(params, train_backbone=True)
+    assert "backbone" in tr
+    merged = merge_params(tr, fr)
+    assert len(jax.tree_util.tree_leaves(merged)) == len(
+        jax.tree_util.tree_leaves(params)
+    )
+
+
+def test_train_backbone_bf16_grads_compute():
+    """bf16 train_backbone must not hit the conv transpose dtype mismatch
+    (resnet_fpn._conv emits the operand dtype for this reason)."""
+    import dataclasses
+
+    from snn_automotive_object_detection_tpu.models.detector import (
+        detector_apply,
+    )
+
+    cfg = DetectorConfig(num_classes=3, t_rpn=2, t_det=2,
+                         min_size=64, max_size=128,
+                         compute_dtype=jnp.bfloat16,
+                         rpn_pallas=False, roi_pallas=False,
+                         train_backbone=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3)),
+        "image_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "original_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]]),
+            "labels": jnp.asarray([[1]], jnp.int32),
+            "valid": jnp.asarray([[True]]),
+        },
+    }
+
+    def loss(params):
+        _, losses = detector_apply(params, batch, cfg, training=True,
+                                   rng=jax.random.PRNGKey(2))
+        return sum(losses.values())
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["backbone"]["stem"]["w"])).sum() > 0.0

@@ -147,12 +147,23 @@ def main():
         params = load_checkpoint(os.path.abspath(args.load))["params"]
 
     if not args.eval_only:
-        trainable, frozen = split_trainable(params)
+        import dataclasses
+
+        # train_backbone extension: a frozen RANDOM backbone cannot learn a
+        # working detector (measured: box head collapses to background —
+        # RPN proposals yield ~no IoU>=0.5 positives). The reference only
+        # freezes because it starts COCO-pretrained. XLA RPN path so the
+        # objectness loss reaches the features (the Pallas custom VJP
+        # returns zero feature cotangents by the frozen-backbone contract).
+        train_config = dataclasses.replace(
+            config, train_backbone=True, rpn_pallas=False
+        )
+        trainable, frozen = split_trainable(params, train_backbone=True)
         # Cosine decay stabilizes the endgame at fresh-data training.
         sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.05)
         opt = optax.sgd(sched, momentum=0.9)
         opt_state = opt.init(trainable)
-        step = make_train_step(config, opt)
+        step = make_train_step(train_config, opt)
 
         h, w = config.bucket
         gen = jax.jit(
