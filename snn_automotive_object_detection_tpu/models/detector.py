@@ -111,12 +111,27 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         # per step, but measured SLOWER on v5e, so OFF by default (matching
         # the dataclass default in factory.py).
         pre_fc6 = not training and getattr(config, "det_precompute_fc6", False)
+        # Fused Pallas encoder+fc6 kernel (snn/pallas_fc6.py): same bf16 +
+        # TPU + inference gate as the other kernels (--fp32 keeps the exact
+        # XLA scan); needs 128-aligned fc6 dims (true for the 256*7*7 ->
+        # 1024 reference head).
+        w6_shape = params["box_head"]["fc6"]["w"].shape
+        use_pallas_fc6 = (
+            getattr(config, "det_fc6_pallas", True)
+            and not training
+            and not pre_fc6
+            and dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and w6_shape[0] % 128 == 0
+            and w6_shape[1] % 128 == 0
+        )
 
         def box_head_apply(flat):
             return heads.fastrcnn_snn_apply(
                 params["box_head"], flat, config.t_det,
                 collect_rates=collect_rates, compute_dtype=dtype,
                 fast_encoder=fast_enc, precompute_fc6=pre_fc6,
+                pallas_fc6=use_pallas_fc6,
             )
     else:
         def box_head_apply(flat):

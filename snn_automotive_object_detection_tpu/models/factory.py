@@ -57,6 +57,11 @@ class DetectorConfig:
     # Fused Pallas ResNet stem (ops/pallas_stem.py) — TPU + bf16 only, and
     # only when the batch carries the host-planarized "images_p" layout.
     stem_pallas: bool = True
+    # Fused Pallas encoder + k-tiled fc6 GEMM for the spiking box head
+    # (snn/pallas_fc6.py) — TPU + bf16 inference only; removes the encoder
+    # membrane's per-step HBM round trip (the box-head scan's dominant
+    # non-GEMM cost).
+    det_fc6_pallas: bool = True
     # EXTENSION (default False = reference parity): let gradients reach the
     # backbone at training time. The reference always runs the backbone
     # under no_grad (generalized_rcnn.py:93-94) because it starts from

@@ -238,6 +238,7 @@ def fastrcnn_snn_apply(
     compute_dtype=jnp.bfloat16,
     fast_encoder: bool = False,
     precompute_fc6: bool = False,
+    pallas_fc6: bool = False,
 ):
     """Spiking box head. x: [R, C*7*7] flattened RoI features.
 
@@ -262,6 +263,23 @@ def fastrcnn_snn_apply(
     w7 = params["fc7"]["w"]
     wc = params["cls_score"]["w"]
     wb = params["bbox_pred"]["w"]
+
+    if pallas_fc6:
+        # Fused Pallas encoder + k-tiled fc6 GEMM (snn/pallas_fc6.py): zero
+        # encoder-state HBM traffic, fc6 weight streamed once per 128-row
+        # tile; the cheap [R, 1024] LIF/fc7/readout scan consumes the
+        # precomputed currents.
+        from snn_automotive_object_detection_tpu.snn.pallas_fc6 import (
+            encoder_fc6_pallas,
+        )
+
+        cur6_all, enc_counts = encoder_fc6_pallas(
+            x, w6, num_steps, state_dtype=sd, collect_rates=collect_rates
+        )
+        return _fastrcnn_snn_from_cur6(
+            cur6_all.astype(sd), w7, wc, wb, num_steps, collect_rates, sd,
+            enc_counts=enc_counts, d_in=d_in,
+        )
 
     if precompute_fc6:
         return _fastrcnn_snn_precomputed(
@@ -316,14 +334,30 @@ def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates, sd):
     fast_encoder path; only the GEMM schedule differs."""
     r, d_in = x.shape
     rep = w6.shape[1]
-    n_cls = wc.shape[1]
-    n_reg = wb.shape[1]
 
     periods = snnf.encoder_periods(x)  # [R, d_in] uint8
     t_idx = (jnp.arange(num_steps) + 1).astype(jnp.uint8)
     z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0).astype(sd)
     cur6_all = _linear(z_all.reshape(num_steps * r, d_in), w6)
     cur6_all = cur6_all.astype(sd).reshape(num_steps, r, rep)
+
+    enc_counts = (
+        z_all.astype(jnp.float32).sum(axis=(0, 2)) if collect_rates else None
+    )
+    return _fastrcnn_snn_from_cur6(
+        cur6_all, w7, wc, wb, num_steps, collect_rates, sd,
+        enc_counts=enc_counts, d_in=d_in,
+    )
+
+
+def _fastrcnn_snn_from_cur6(cur6_all, w7, wc, wb, num_steps, collect_rates,
+                            sd, enc_counts=None, d_in=None):
+    """Sequential LIF/fc7/readout tail over precomputed fc6 input currents
+    cur6_all [T, R, rep] (shared by the stacked-T XLA path above and the
+    fused Pallas encoder+fc6 kernel, snn/pallas_fc6.py)."""
+    _, r, rep = cur6_all.shape
+    n_cls = wc.shape[1]
+    n_reg = wb.shape[1]
 
     def step(carry, cur6):
         l6, l7, li_c, li_b, c6, c7 = carry
@@ -349,8 +383,7 @@ def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates, sd):
     rates = None
     if collect_rates:
         rates = {
-            "encoder": z_all.astype(jnp.float32).sum(axis=(0, 2))
-            / (num_steps * d_in),
+            "encoder": enc_counts / (num_steps * d_in),
             "fc6": c6 / (num_steps * rep),
             "fc7": c7 / (num_steps * rep),
         }

@@ -203,21 +203,35 @@ def postprocess_detections(
 
     above = fg_scores > cfg.score_thresh
     fg_valid = above & fg_prop_valid & box_ops.small_box_mask(fg_boxes, cfg.min_size)
-    fg_keep = _per_class_nms(boxes[:, 1:, :], scores[:, 1:],
-                             fg_valid.reshape(p, c - 1), cfg.nms_thresh)
-    d = cfg.detections_per_img
-    fg_idx, fg_out_valid = nms_ops.topk_after_nms(fg_scores, fg_keep, d)
 
     # ----- background: one class-0 box per proposal; keep proposals NOT
     # claimed by an above-threshold FG prediction (roi_heads.py:1136-1148).
+    # bg_valid depends only on the SCORES (not on the FG NMS outcome), so
+    # the BG NMS is independent of the per-class FG NMS — run it as one
+    # more group in the same vmap (serial NMS depth P/B once instead of
+    # twice; both use cfg.nms_thresh, and cross-group suppression never
+    # happens by construction).
     claimed = (above & fg_prop_valid).reshape(p, c - 1).any(axis=1)
     bg_boxes = boxes[:, 0, :]
     bg_scores = scores[:, 0]
     bg_valid = (
         prop_valid & ~claimed & box_ops.small_box_mask(bg_boxes, cfg.min_size)
     )
-    bg_keep, _ = nms_ops.nms_mask(bg_boxes, bg_scores, bg_valid, cfg.nms_thresh)
-    bg_idx, bg_out_valid = nms_ops.topk_after_nms(bg_scores, bg_keep, p)
+
+    keep_all = jax.vmap(
+        lambda b, s, v: nms_ops.nms_mask(b, s, v, cfg.nms_thresh)[0]
+    )(
+        jnp.concatenate([jnp.transpose(boxes[:, 1:, :], (1, 0, 2)),
+                         bg_boxes[None]], axis=0),
+        jnp.concatenate([jnp.transpose(scores[:, 1:], (1, 0)),
+                         bg_scores[None]], axis=0),
+        jnp.concatenate([jnp.transpose(fg_valid.reshape(p, c - 1), (1, 0)),
+                         bg_valid[None]], axis=0),
+    )
+    fg_keep = jnp.transpose(keep_all[:c - 1], (1, 0)).reshape(-1)
+    d = cfg.detections_per_img
+    fg_idx, fg_out_valid = nms_ops.topk_after_nms(fg_scores, fg_keep, d)
+    bg_idx, bg_out_valid = nms_ops.topk_after_nms(bg_scores, keep_all[c - 1], p)
 
     out_boxes = jnp.concatenate([fg_boxes[fg_idx], bg_boxes[bg_idx]], axis=0)
     out_scores = jnp.concatenate([fg_scores[fg_idx], bg_scores[bg_idx]], axis=0)

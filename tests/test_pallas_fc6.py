@@ -1,0 +1,104 @@
+"""Fused Pallas encoder+fc6 kernel vs the XLA box-head paths (interpret
+mode on CPU). Production gate: detector.make_head_applies (TPU + bf16)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from snn_automotive_object_detection_tpu.models import heads
+from snn_automotive_object_detection_tpu.snn import functional as snnf
+
+
+@pytest.fixture(scope="module")
+def small_head():
+    # d_in / rep must be 128-aligned for the kernel (production head is
+    # 256*7*7 -> 1024); num_classes 6 like the single-bbox test head.
+    params = heads.init_fastrcnn_snn(jax.random.PRNGKey(3), 512, 128, 6)
+    return params
+
+
+@pytest.mark.parametrize("t", [4, 12])
+def test_cur6_matches_closed_form(rng, small_head, t):
+    """f32 kernel currents == the mod-based closed-form construction."""
+    from snn_automotive_object_detection_tpu.snn.pallas_fc6 import (
+        encoder_fc6_pallas,
+    )
+
+    r, d_in = 150, 512  # r not a multiple of 128 -> exercises padding
+    x = jnp.asarray(rng.uniform(0, 2.5, (r, d_in)).astype(np.float32))
+    w6 = small_head["fc6"]["w"]
+
+    periods = snnf.encoder_periods(x)
+    t_idx = (jnp.arange(t) + 1).astype(jnp.uint8)
+    z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0).astype(
+        jnp.float32
+    )
+    want = jnp.einsum("trd,dh->trh", z_all, w6)
+
+    cur6, counts = encoder_fc6_pallas(
+        x, w6, t, state_dtype=jnp.float32, interpret=True,
+        collect_rates=True,
+    )
+    assert cur6.shape == (t, r, 128)
+    np.testing.assert_allclose(np.asarray(cur6), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(counts), np.asarray(z_all.sum(axis=(0, 2)))
+    )
+
+
+def test_head_outputs_match_fast_encoder_f32(rng, small_head):
+    """Full head through the kernel == fast_encoder XLA path in f32."""
+    t, r = 8, 96
+    x = jnp.asarray(rng.uniform(0, 2.5, (r, 512)).astype(np.float32))
+    cls_w, reg_w, rates_w = heads.fastrcnn_snn_apply(
+        small_head, x, t, collect_rates=True, compute_dtype=jnp.float32,
+        fast_encoder=True,
+    )
+    # pallas_fc6 auto-selects interpret mode on the CPU backend; float32
+    # keeps every spike decision identical to the fast_encoder path.
+    cls_p, reg_p, rates_p = heads.fastrcnn_snn_apply(
+        small_head, x, t, collect_rates=True, compute_dtype=jnp.float32,
+        pallas_fc6=True,
+    )
+    np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls_w),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_p), np.asarray(reg_w),
+                               rtol=1e-4, atol=1e-5)
+    for k in rates_w:
+        np.testing.assert_allclose(np.asarray(rates_p[k]),
+                                   np.asarray(rates_w[k]), atol=1e-6)
+
+
+def test_head_outputs_bf16_close_to_default(rng, small_head):
+    """bf16 kernel vs the default (step-simulated bf16 encoder) XLA path:
+    borderline encoder spikes may flip (closed-form f32 periods vs bf16
+    membrane simulation — same difference class as the RPN kernel,
+    PARITY.md), so compare with spike-scale tolerance."""
+    t, r = 12, 96
+    x = jnp.asarray(rng.uniform(0, 2.5, (r, 512)).astype(np.float32))
+    cls_w, reg_w, _ = heads.fastrcnn_snn_apply(
+        small_head, x, t, compute_dtype=jnp.bfloat16,
+    )
+    # Same integer spike periods as the kernel -> only GEMM reduction-order
+    # and downstream bf16-LIF differences remain: tight tolerance.
+    cls_f, reg_f, _ = heads.fastrcnn_snn_apply(
+        small_head, x, t, compute_dtype=jnp.bfloat16, fast_encoder=True,
+    )
+    cls_p, reg_p, _ = heads.fastrcnn_snn_apply(
+        small_head, x, t, compute_dtype=jnp.bfloat16, pallas_fc6=True,
+    )
+    np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls_f),
+                               atol=0.15, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(reg_p), np.asarray(reg_f),
+                               atol=0.15, rtol=0.1)
+    # vs the default (bf16 step-simulated encoder): borderline encoder
+    # spikes flip — the XLA default vs XLA fast_encoder paths themselves
+    # differ by max 0.164 / 29% of elements > 0.05 on this random-weight
+    # fixture (measured; the PARITY.md encoder-simulation-vs-closed-form
+    # difference class). Bound only the magnitude; mAP-level impact is
+    # measured on trained weights in PARITY.md.
+    for got, want in ((cls_p, cls_w), (reg_p, reg_w)):
+        d = np.abs(np.asarray(got) - np.asarray(want))
+        assert d.max() < 0.4, d.max()
