@@ -7,9 +7,12 @@ iota coordinate masks, no host arrays — so training can stream unlimited
 fresh batches on the TPU (host->device uploads of full-res images stall
 the tunneled platform) and evaluation can use genuinely held-out images.
 
-Classes (shape decides the label, so the task is visually solvable):
-  1 solid rectangle     2 ellipse        3 hollow frame
-  4 striped rectangle   5 checkerboard rectangle
+Classes (shape AND color family decide the label — VERDICT r2 #3 asks for
+"distinct shapes/colors"; the color channel keeps the task learnable at
+the modest step budgets a from-scratch backbone permits):
+  1 solid rectangle, red     2 ellipse, green   3 hollow frame, blue
+  4 striped rectangle, yellow          5 checkerboard rectangle, magenta
+(each with per-object brightness/saturation jitter)
 Sizes are log-uniform over [28, 440] px on the long side, covering the
 FPN anchor bands (32..512, ops/anchors.py); boxes may overlap (later
 shapes occlude earlier ones, GT boxes stay the full analytic extent —
@@ -71,7 +74,18 @@ def synth_image(key, h, w, max_boxes=8):
     x0 = jax.random.uniform(ks[4], (max_boxes,)) * (w - bw - 2) + 1
     y0 = jax.random.uniform(ks[5], (max_boxes,)) * (h - bh - 2) + 1
     x1, y1 = x0 + bw, y0 + bh
-    color = jax.random.uniform(ks[6], (max_boxes, 3), minval=0.45, maxval=1.0)
+    # Class-coded color family (see module docstring) with per-object
+    # brightness jitter: base[cls] * u + 0.12, u ~ U[0.55, 1.0].
+    base = jnp.asarray([
+        [0.0, 0.0, 0.0],  # (padding for cls=0, unused)
+        [1.0, 0.15, 0.15],  # 1 red
+        [0.15, 1.0, 0.15],  # 2 green
+        [0.25, 0.45, 1.0],  # 3 blue
+        [1.0, 1.0, 0.15],   # 4 yellow
+        [1.0, 0.25, 1.0],   # 5 magenta
+    ])
+    bright = jax.random.uniform(ks[6], (max_boxes, 1), minval=0.55, maxval=1.0)
+    color = jnp.clip(base[cls] * bright + 0.12, 0.0, 1.0)
 
     img = jax.random.uniform(ks[7], (h, w, 3), minval=0.0, maxval=0.22)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
