@@ -102,3 +102,28 @@ def test_head_outputs_bf16_close_to_default(rng, small_head):
     for got, want in ((cls_p, cls_w), (reg_p, reg_w)):
         d = np.abs(np.asarray(got) - np.asarray(want))
         assert d.max() < 0.4, d.max()
+
+
+def test_bf16_kernel_rates_exact_integers(rng, small_head):
+    """bf16 kernel spike counts == the f32 closed-form counts exactly:
+    the countdown carries only small integers (exact in bf16) and the
+    period compare runs in f32 in both paths."""
+    from snn_automotive_object_detection_tpu.snn.pallas_fc6 import (
+        encoder_fc6_pallas,
+    )
+
+    t, r, d = 12, 130, 512
+    x = jnp.asarray(rng.uniform(0, 2.5, (r, d)).astype(np.float32))
+    w6 = small_head["fc6"]["w"]
+    # The bf16 path quantizes inputs to bf16 first (exactly like the XLA
+    # bf16 box-head path's x.astype(sd)); periods are computed on that.
+    periods = snnf.encoder_periods(x.astype(jnp.bfloat16))
+    t_idx = (jnp.arange(t) + 1).astype(jnp.uint8)
+    z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0)
+    want = np.asarray(z_all.sum(axis=(0, 2)), np.float64)
+
+    _, counts = encoder_fc6_pallas(
+        x, w6, t, state_dtype=jnp.bfloat16, interpret=True,
+        collect_rates=True,
+    )
+    np.testing.assert_array_equal(np.asarray(counts, np.float64), want)
