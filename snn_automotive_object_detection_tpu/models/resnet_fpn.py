@@ -107,6 +107,23 @@ def _conv(x, w, stride=1, padding=None):
     # default for f32 operands is bf16-pass multiplication).
     precision = (jax.lax.Precision.HIGHEST
                  if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    # 1x1 convs as flat GEMMs: XLA's TPU conv lowering measured ~50% slower
+    # than the equivalent dot at the FPN lateral shapes (2.80 vs 1.83 ms for
+    # the four laterals, round-3 ledger). Stride-2 1x1 (bottleneck
+    # downsample) subsamples rows first — exact, the conv never reads the
+    # skipped pixels. Same f32 MXU accumulation; only reduction order can
+    # differ (bf16 1-ulp class).
+    if w.shape[0] == 1 and w.shape[1] == 1:
+        if stride > 1:
+            x = x[:, ::stride, ::stride]
+        n, h, wd, ci = x.shape
+        y = jnp.dot(
+            x.reshape(n * h * wd, ci),
+            w.reshape(ci, -1).astype(x.dtype),
+            precision=precision,
+            preferred_element_type=x.dtype,
+        )
+        return y.reshape(n, h, wd, -1)
     # Emit the operand dtype (not preferred_element_type=f32): XLA still
     # accumulates in f32 on the MXU and every caller rounds to x.dtype
     # anyway, while a f32 cotangent would break conv_general_dilated's

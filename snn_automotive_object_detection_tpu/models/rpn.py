@@ -146,8 +146,13 @@ def filter_proposals(
             ss = ss.at[lvl, :k].set(scr[off:off + k])
             vs = vs.at[lvl, :k].set(valid[off:off + k])
             off += k
+        # presorted: each level's rows come straight from select_pre_nms's
+        # lax.top_k (descending objectness; sigmoid is monotone), and the
+        # zero-score padded rows are invalid, so the NMS argsort is
+        # redundant (~0.17 ms/level saved, exact same greedy result).
         keep_lv, _ = jax.vmap(
-            lambda b, s, v: nms_ops.nms_mask(b, s, v, cfg.nms_thresh)
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, cfg.nms_thresh,
+                                             presorted=True)
         )(bs, ss, vs)
         keep = jnp.concatenate(
             [keep_lv[lvl, :k] for lvl, k in enumerate(level_sizes)], axis=0

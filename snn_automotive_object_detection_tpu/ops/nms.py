@@ -61,6 +61,7 @@ def nms_mask(
     iou_threshold: float,
     groups: jnp.ndarray | None = None,
     block_size: int = 256,
+    presorted: bool = False,
 ):
     """Masked greedy NMS.
 
@@ -69,27 +70,39 @@ def nms_mask(
     valid:  [N] bool — invalid boxes never kept nor suppress others
     groups: optional [N] int — suppression only within equal group ids
             (per-level for the RPN, per-class for the RoI head)
+    presorted: caller guarantees ``scores`` are already descending over the
+            VALID entries (e.g. rows straight out of a lax.top_k). Skips
+            the argsort (~0.17 ms per 1000-row sort on v5e). Exact: greedy
+            order is defined by score order, and interleaved invalid rows
+            are no-ops (never kept, never suppress), so they need not be
+            moved to the back.
 
     Returns:
       keep:   [N] bool in ORIGINAL order — kept boxes
-      order:  [N] int32 — indices sorting scores descending (invalid last);
-              ``order`` filtered by ``keep[order]`` enumerates kept boxes in
-              score order, matching torchvision's return convention.
+      order:  [N] int32 — indices sorting scores descending (invalid last
+              unless presorted; see above); ``order`` filtered by
+              ``keep[order]`` enumerates kept boxes in score order,
+              matching torchvision's return convention.
     """
     n = boxes.shape[0]
     b = min(block_size, n)
     n_pad = ((n + b - 1) // b) * b
     num_blocks = n_pad // b
 
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores).astype(jnp.int32)
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        ob, ov = boxes, valid
+        og = None if groups is None else groups
+    else:
+        masked_scores = jnp.where(valid, scores, NEG_INF)
+        order = jnp.argsort(-masked_scores).astype(jnp.int32)
+        ob, ov = boxes[order], valid[order]
+        og = None if groups is None else groups[order]
 
-    sb = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
-    sa = jnp.zeros((n_pad,), bool).at[:n].set(valid[order])
-    if groups is not None:
-        sg = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(
-            groups[order].astype(jnp.int32)
-        )
+    sb = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(ob)
+    sa = jnp.zeros((n_pad,), bool).at[:n].set(ov)
+    if og is not None:
+        sg = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(og.astype(jnp.int32))
     else:
         sg = None
 
@@ -123,7 +136,10 @@ def nms_mask(
 
     kept = jax.lax.fori_loop(0, num_blocks, outer, jnp.zeros((n_pad,), jnp.float32))
 
-    keep = jnp.zeros(n, dtype=bool).at[order].set(kept[:n] > 0.5)
+    if presorted:
+        keep = kept[:n] > 0.5
+    else:
+        keep = jnp.zeros(n, dtype=bool).at[order].set(kept[:n] > 0.5)
     return keep, order
 
 

@@ -51,11 +51,16 @@ _MAX_T = 32
 
 
 def _choose_tk(d: int) -> int:
-    """Largest divisor of d that is a multiple of 128 and <= 1024."""
+    """Largest divisor of d that is a multiple of 128 and <= 256.
+
+    The cap was 1024 (fewer grid steps), but the double-buffered [tk, rep]
+    weight tile then put the collect_rates variant 440 KB over the 16 MB
+    scoped-VMEM limit at the flagship head (measured compile OOM); 256
+    keeps ~3 MB of headroom at the same total weight traffic."""
     best = 0
     for mult in range(1, d // 128 + 1):
         tk = 128 * mult
-        if tk > 1024:
+        if tk > 256:
             break
         if d % tk == 0:
             best = tk
