@@ -126,6 +126,8 @@ def main():
     ap.add_argument("--eval-only", action="store_true",
                     help="evaluate --load instead of training")
     ap.add_argument("--load", default=None)
+    ap.add_argument("--save-every", type=int, default=1000,
+                    help="write <out>.partial every N steps (stall insurance)")
     ap.add_argument("--train-backbone", action="store_true",
                     help="unfreeze the backbone (needs the slow XLA RPN "
                     "path for feature gradients; ~10x slower steps). The "
@@ -195,6 +197,11 @@ def main():
                 print(f"step {i}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in sorted(vals.items())),
                     flush=True)
+            if args.save_every and i and i % args.save_every == 0:
+                # Crash/stall insurance on multi-hour tunneled runs.
+                save_checkpoint(os.path.abspath(args.out) + ".partial",
+                                {"params": merge_params(trainable, frozen)})
+                print(f"partial checkpoint at step {i}", flush=True)
 
         params = merge_params(trainable, frozen)
         save_checkpoint(os.path.abspath(args.out), {"params": params})
