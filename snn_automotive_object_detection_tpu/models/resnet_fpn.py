@@ -107,12 +107,15 @@ def _conv(x, w, stride=1, padding=None):
     # default for f32 operands is bf16-pass multiplication).
     precision = (jax.lax.Precision.HIGHEST
                  if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    # 1x1 convs as flat GEMMs: XLA's TPU conv lowering measured ~50% slower
-    # than the equivalent dot at the FPN lateral shapes (2.80 vs 1.83 ms for
-    # the four laterals, round-3 ledger). Stride-2 1x1 (bottleneck
-    # downsample) subsamples rows first — exact, the conv never reads the
+    # 1x1 convs as flat GEMMs. Standalone microbenches are CONTRADICTORY
+    # here (FPN laterals: GEMM 1.83 vs conv 2.80 ms; bottleneck stacks:
+    # GEMM 6.13 vs conv 3.80 ms standalone) but the END-TO-END detector is
+    # unambiguous in a same-session A/B: all-1x1-GEMM 51.8 img/s vs
+    # laterals-only 48.7 (batch 2) — in context the GEMM form gives XLA
+    # better layouts around the Pallas kernels. Trust e2e (CLAUDE.md).
+    # Stride-2 subsamples rows first — exact, the conv never reads the
     # skipped pixels. Same f32 MXU accumulation; only reduction order can
-    # differ (bf16 1-ulp class).
+    # differ from the conv lowering (bf16 1-ulp class).
     if w.shape[0] == 1 and w.shape[1] == 1:
         if stride > 1:
             x = x[:, ::stride, ::stride]
