@@ -116,6 +116,10 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         # XLA scan); needs 128-aligned fc6 dims (true for the 256*7*7 ->
         # 1024 reference head).
         w6_shape = params["box_head"]["fc6"]["w"].shape
+        from snn_automotive_object_detection_tpu.snn.pallas_fc6 import (
+            fc6_fits_vmem,
+        )
+
         use_pallas_fc6 = (
             getattr(config, "det_fc6_pallas", True)
             and not training
@@ -124,6 +128,12 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
             and jax.default_backend() == "tpu"
             and w6_shape[0] % 128 == 0
             and w6_shape[1] % 128 == 0
+            # Nonstandard (large) t_det can exceed the kernel's scoped-VMEM
+            # budget (the revisited [T, 128, rep] f32 block grows with T);
+            # a compile-time VMEM OOM can wedge the TPU worker, so fall
+            # back to the XLA scan instead (ADVICE r3).
+            and fc6_fits_vmem(config.t_det, w6_shape[0], w6_shape[1],
+                              collect_rates)
         )
 
         def box_head_apply(flat):

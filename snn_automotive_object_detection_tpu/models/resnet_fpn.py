@@ -116,7 +116,7 @@ def _conv(x, w, stride=1, padding=None):
     # Stride-2 subsamples rows first — exact, the conv never reads the
     # skipped pixels. Same f32 MXU accumulation; only reduction order can
     # differ from the conv lowering (bf16 1-ulp class).
-    if w.shape[0] == 1 and w.shape[1] == 1:
+    if w.shape[0] == 1 and w.shape[1] == 1 and padding == [(0, 0), (0, 0)]:
         if stride > 1:
             x = x[:, ::stride, ::stride]
         n, h, wd, ci = x.shape

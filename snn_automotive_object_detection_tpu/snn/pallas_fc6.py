@@ -67,6 +67,41 @@ def _choose_tk(d: int) -> int:
     return best
 
 
+def fc6_vmem_bytes(num_steps: int, d: int, rep: int,
+                   collect_rates: bool = False,
+                   state_bytes: int = 2) -> int:
+    """Estimated per-grid-step VMEM footprint of encoder_fc6_pallas.
+
+    The dominant term is the revisited [T, 128, rep] f32 output block; the
+    rest is double-buffered x/w tiles, the two countdown scratches, and the
+    f32 temporaries Mosaic materializes for the threshold-count pass (real:
+    a 440 KB overshoot at tk=896 compile-OOMed, see _choose_tk). Used by
+    the detector gate to fall back to the XLA scan instead of risking a
+    compile-time VMEM OOM (which can wedge the TPU worker) at nonstandard
+    t_det — _MAX_T=32 alone is NOT a safe bound (T~24 at rep=1024 already
+    approaches the 16 MB scoped limit)."""
+    tk = _choose_tk(d)
+    if not tk:
+        return 1 << 62  # not expressible -> never fits
+    tr = 128
+    out = num_steps * tr * rep * 4
+    tiles = 2 * tk * rep * state_bytes + 2 * tr * tk * state_bytes
+    scratch = 2 * tr * tk * state_bytes
+    f32_tmp = 3 * tr * tk * 4
+    rates = 2 * tr * 128 * 4 if collect_rates else 0
+    return out + tiles + scratch + f32_tmp + rates
+
+
+# Conservative scoped-VMEM budget (real limit ~16 MB; Mosaic's accounting
+# includes internals the estimate can't see, so leave headroom).
+FC6_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fc6_fits_vmem(num_steps: int, d: int, rep: int,
+                  collect_rates: bool = False) -> bool:
+    return fc6_vmem_bytes(num_steps, d, rep, collect_rates) <= FC6_VMEM_BUDGET
+
+
 def _encoder_fc6_kernel(
     thr_ref,   # [T] f32 scalar prefetch — 1 - a^m membrane constants
     x_ref,     # [tr, tk] state dtype — RoI feature tile
@@ -140,6 +175,16 @@ def encoder_fc6_pallas(
         interpret = jax.default_backend() != "tpu"
     r, d = x.shape
     rep = w6.shape[1]
+    if not interpret and not fc6_fits_vmem(d=d, rep=rep, num_steps=num_steps,
+                                           collect_rates=collect_rates):
+        # Fail fast with a real error: a compile-time VMEM OOM can wedge
+        # the TPU worker for minutes (CLAUDE.md). Callers gate on
+        # fc6_fits_vmem and fall back to the XLA scan.
+        raise ValueError(
+            f"encoder_fc6_pallas VMEM estimate "
+            f"{fc6_vmem_bytes(num_steps, d, rep, collect_rates)} B exceeds "
+            f"budget {FC6_VMEM_BUDGET} B (T={num_steps}, d={d}, rep={rep})"
+        )
     tk = _choose_tk(d)
     assert tk and rep % 128 == 0, (d, rep)
 

@@ -127,3 +127,25 @@ def test_bf16_kernel_rates_exact_integers(rng, small_head):
         collect_rates=True,
     )
     np.testing.assert_array_equal(np.asarray(counts, np.float64), want)
+
+
+def test_vmem_gate():
+    """fc6_fits_vmem: flagship fits; oversized T / tk-896-class configs
+    are gated off (ADVICE r3: rely on the estimate, not _MAX_T)."""
+    from snn_automotive_object_detection_tpu.snn.pallas_fc6 import (
+        encoder_fc6_pallas, fc6_fits_vmem,
+    )
+
+    # Flagship head: T_det=12, d=12544, rep=1024 (+ the sweep max T=16).
+    assert fc6_fits_vmem(12, 12544, 1024, collect_rates=True)
+    assert fc6_fits_vmem(16, 12544, 1024, collect_rates=True)
+    # The advisor's scenario: T near _MAX_T at rep=1024 approaches the
+    # 16 MB scoped limit -> must be gated off, not compile-OOM.
+    assert not fc6_fits_vmem(24, 12544, 1024)
+    assert not fc6_fits_vmem(32, 12544, 1024)
+
+    # Non-interpret entry refuses instead of compiling an OOM kernel.
+    x = jnp.zeros((8, 12544), jnp.float32)
+    w = jnp.zeros((12544, 1024), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        encoder_fc6_pallas(x, w, 32, interpret=False)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -206,6 +207,11 @@ def main():
         params = merge_params(trainable, frozen)
         save_checkpoint(os.path.abspath(args.out), {"params": params})
         print(f"saved weights to {args.out}")
+        # The final save supersedes the crash-insurance partial; a stale
+        # .partial next to the final file could be loaded by mistake.
+        partial = os.path.abspath(args.out) + ".partial"
+        if os.path.isdir(partial):
+            shutil.rmtree(partial, ignore_errors=True)
 
     stats, cls_ap = evaluate_heldout(config, params, args.eval_images,
                                      args.batch)
