@@ -74,14 +74,16 @@ class CocoEvaluator:
             keep = np.asarray(det["valid"]).astype(bool) if "valid" in det else \
                 np.ones(len(scores), bool)
             if self.remove_bg:
-                # --rm-bg: drop background (label 0) predictions
-                # (reference train.py:317-326).
+                # --rm-bg: drop background (label 0) predictions before they
+                # reach the evaluator (reference train.py:317-326).
                 keep &= labels != 0
-            else:
-                # COCO protocol has no background category; label-0 BG boxes
-                # (open-set extras) never match a GT category anyway — drop
-                # them to keep det lists small.
-                keep &= labels != 0
+            # Without the flag, BG boxes stay in the detection set — exactly
+            # like the reference, where the raw outputs (incl. open-set BG
+            # extras) go to coco_evaluator.update. COCO metrics are
+            # unaffected either way (per-category matching skips label 0,
+            # which is never a GT category), but the stored/merged detection
+            # set differs, and downstream consumers of self.eval.dets see
+            # the BG boxes.
             self.eval.add_detections(img_id, boxes[keep], scores[keep], labels[keep])
 
     def synchronize_between_processes(self, others: Optional[Sequence] = None):

@@ -100,6 +100,18 @@ class DetectorConfig:
     def num_anchors_per_location(self) -> int:
         return self.anchor_spec.num_anchors_per_location[0]
 
+    @property
+    def fpn_strides(self) -> Tuple[int, ...]:
+        """Per-level feature strides of the configured backbone's FPN.
+
+        resnet50: P2..P6 (strides 4..64); mobilenet_v3: P4, P5, pool
+        (models/mobilenet_fpn.py). Consumers (anchor grids, spike-rate /
+        energy FLOP bookkeeping) must derive level count from this, not
+        assume the 5-level ResNet layout."""
+        if self.backbone == "resnet50_fpn":
+            return (4, 8, 16, 32, 64)
+        return (16, 32, 64)
+
 
 def create_model(
     dataset_name: str,

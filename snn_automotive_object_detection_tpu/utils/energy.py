@@ -46,6 +46,11 @@ def energy_report(
 ) -> Dict[str, float]:
     """spikes_per_layer: mean spikes per neuron over the FULL T window
     (rate * T, train.py:484/493). Returns totals + reduction ratio."""
+    assert len(spikes_per_layer) == len(flops_per_layer) == len(layer_names), (
+        # A silent zip-truncation here mispairs layers (e.g. 3-level
+        # mobilenet rates against 5-level ResNet FLOPs).
+        (len(spikes_per_layer), len(flops_per_layer), len(layer_names))
+    )
     ann_total = 0.0
     snn_total = 0.0
     per_layer = []

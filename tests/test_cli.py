@@ -145,3 +145,22 @@ def test_cli_load_torch_checkpoint(mini_env, tmp_path):
     args = make_args(mini_env, "--test-only", "--load-model", str(pth))
     stats = cli_train.main(args)
     assert stats.shape == (12,)
+
+
+def test_cli_spike_rates_mobilenet(mini_env, capsys):
+    """Mobilenet (3 FPN levels) energy report: level count must come from
+    the configured backbone, not the hard-coded ResNet 5 (VERDICT r3 #5) —
+    previously the rate/FLOP zip silently mispaired layers."""
+    args = make_args(mini_env, "--extract-spike-rates", "test",
+                     "--backbone", "mobilenet_v3_large_fpn")
+    cli_train.main(args)
+    tmp = mini_env[0]
+    f = tmp / "out" / "spike_rates_test_cityscapes.npz"
+    data = np.load(f)
+    assert data["shared"].shape[0] == 3  # mobilenet FPN levels
+    out = capsys.readouterr().out
+    # 3 RPN levels + FC6/FC7, correctly paired and named.
+    assert "LVL_0" in out and "LVL_1" in out and "pool" in out
+    assert "LVL_3" not in out
+    assert out.count("ANN energy") == 5
+    assert "Total energy consumption" in out

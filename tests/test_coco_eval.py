@@ -149,3 +149,45 @@ def test_merge_from_dedups_wraparound_duplicates():
     a.accumulate()
     stats = a.summarize(verbose=False)
     assert np.isclose(stats[0], 1.0)  # a doubled det would be an FP
+
+
+def test_remove_bg_flag_changes_detection_set():
+    """--rm-bg must actually change the evaluated detection set: without it
+    label-0 (open-set BG) boxes stay in the evaluator's store like the
+    reference (train.py:317-326 only filters under the flag); metrics are
+    unaffected either way (label 0 is never a GT category)."""
+    from snn_automotive_object_detection_tpu.evaluation.evaluator import (
+        CocoEvaluator,
+    )
+
+    class _Idx:
+        img_to_anns = {1: [{"bbox": [10.0, 10.0, 50.0, 50.0],
+                            "category_id": 1, "area": 2500.0, "iscrowd": 0}]}
+        cats = {1: {"id": 1}}
+
+    class _Ds:
+        index = _Idx()
+        ids = [1]
+
+    res = {1: {
+        "boxes": np.array([[10, 10, 60, 60], [100, 100, 150, 150]], np.float64),
+        "scores": np.array([0.9, 0.8]),
+        "labels": np.array([1, 0]),
+    }}
+
+    ev_keep = CocoEvaluator(_Ds())
+    ev_keep.update(res)
+    ev_rm = CocoEvaluator(_Ds(), remove_bg=True)
+    ev_rm.update(res)
+
+    kept_labels = np.concatenate(ev_keep.eval.dets[1]["labels"])
+    rm_labels = np.concatenate(ev_rm.eval.dets[1]["labels"])
+    assert set(kept_labels) == {0, 1}
+    assert set(rm_labels) == {1}
+
+    for ev in (ev_keep, ev_rm):
+        ev.accumulate()
+    s_keep = ev_keep.summarize(verbose=False)
+    s_rm = ev_rm.summarize(verbose=False)
+    np.testing.assert_array_equal(s_keep, s_rm)
+    assert np.isclose(s_keep[0], 1.0)
