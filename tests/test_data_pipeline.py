@@ -177,3 +177,18 @@ def test_loader_drop_last_truncates_indices(coco_dir):
     assert n_batches == len(ds) // 2
     # no partially-consumed tail: the index list itself is truncated
     assert len(l._indices()) == n_batches * 2
+
+
+def test_smoke_module(tmp_path):
+    """python -m ...data.smoke (reference datasets.py:177-214 smoke block):
+    iterates loader batches and writes a GT panel (PARITY.md claim)."""
+    from tests.mini_dataset import make_mini_env
+    from snn_automotive_object_detection_tpu.data import smoke
+
+    _, ds_yaml, _ = make_mini_env(tmp_path)
+    out = tmp_path / "panel.png"
+    args = smoke.get_args_parser().parse_args(
+        ["-d", ds_yaml, "--batches", "2", "-b", "2",
+         "--bucket", "64", "128", "-j", "2", "--out", str(out)])
+    smoke.main(args)
+    assert out.exists() and out.stat().st_size > 0
