@@ -74,6 +74,12 @@ def get_args_parser(add_help: bool = True):
                    choices=["imgs_and_preds", "one_img_preds"])
     p.add_argument("--max-plot-images", dest="max_plot_images", type=int,
                    default=50, help="cap on --plot-images/--save-images panels")
+    p.add_argument("--trainable-backbone-layers", dest="trainable_backbone_layers",
+                   default=0, type=int, choices=range(0, 6),
+                   help="train the top N ResNet stages (1 -> layer4 ... "
+                        "5 -> + stem; reference train.py:66). Unlike the "
+                        "reference (where no_grad makes it dead), gradients "
+                        "really flow here.")
     p.add_argument("--freeze-fpn", dest="freeze_fpn", action="store_true")
     p.add_argument("--freeze-rpn", dest="freeze_rpn", action="store_true")
     p.add_argument("--freeze-detector", dest="freeze_detector", action="store_true")
@@ -186,6 +192,13 @@ def build_everything(args):
         model_yaml=model_yaml,
         backbone=args.backbone,
     )
+    if getattr(args, "trainable_backbone_layers", 0):
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, trainable_backbone_layers=args.trainable_backbone_layers
+        )
+        config.backbone_trainable_stages  # validate backbone supports it
 
     rank, world = jax.process_index(), jax.process_count()
     rng = np.random.default_rng(args.seed + rank)
@@ -385,6 +398,7 @@ def dump_hyperparams(path, args, config, params):
         params, getattr(args, "freeze_fpn", False),
         getattr(args, "freeze_rpn", False),
         getattr(args, "freeze_detector", False),
+        trainable_backbone_layers=getattr(args, "trainable_backbone_layers", 0),
     )
     lines.append("--- module audit ---")
     for status, tree in (("TRAINABLE", trainable), ("FROZEN", frozen)):
@@ -513,7 +527,8 @@ def main(args):
     # ---------------- training
     mesh = data_parallel_mesh()
     trainable, frozen = split_trainable(
-        params, args.freeze_fpn, args.freeze_rpn, args.freeze_detector
+        params, args.freeze_fpn, args.freeze_rpn, args.freeze_detector,
+        trainable_backbone_layers=args.trainable_backbone_layers,
     )
 
     ds_train, train_loader = make_loader("train", training=True)

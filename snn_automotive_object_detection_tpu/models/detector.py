@@ -52,6 +52,13 @@ def wants_planar_input(config, bucket=None) -> bool:
     )
 
 
+def _trainable_stages(config) -> int:
+    """Resolved --trainable-backbone-layers / train_backbone stage count."""
+    if hasattr(config, "backbone_trainable_stages"):
+        return config.backbone_trainable_stages
+    return 5 if getattr(config, "train_backbone", False) else 0
+
+
 def make_head_applies(config, params, collect_rates: bool, training: bool = False):
     """Bind head apply functions for the configured (SNN / ANN) variants."""
     dtype = config.compute_dtype
@@ -71,6 +78,10 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         getattr(config, "rpn_pallas", True)
         and config.rpn_snn
         and not (collect_rates and training)
+        # The Pallas train VJP returns dL/dfeat as zeros (the backbone is
+        # frozen in the reference); any trainable backbone stage needs the
+        # XLA scan's real feature gradients.
+        and not (training and _trainable_stages(config) > 0)
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
@@ -175,6 +186,9 @@ def detector_apply(
       train -> detections == {} (plus optional rates); 4-entry losses dict
     """
     is_resnet = getattr(config, "backbone", "resnet50_fpn") == "resnet50_fpn"
+    # Top-N trainable backbone stages (--trainable-backbone-layers /
+    # train_backbone); 0 outside training.
+    tbl = _trainable_stages(config) if training else 0
     # Fused Pallas stem (ops/pallas_stem.py): TPU + bf16 + ResNet only —
     # same gating rule as the other kernels (--fp32 keeps the XLA chain).
     # It consumes the RAW image in planar s2d layout (normalization is
@@ -189,6 +203,10 @@ def detector_apply(
         and config.compute_dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and "images_p" in batch
+        # The stem kernel has no VJP; fine while the stem is frozen (the
+        # stop_gradient boundary sits after it), but a trainable stem
+        # (layers=5 / train_backbone) needs the XLA chain.
+        and tbl < 5
     )
 
     if "images" in batch:
@@ -217,10 +235,12 @@ def detector_apply(
             params["backbone"]["stem"], xp,
             config.image_mean, config.image_std,
         )
-        feats = resnet50_fpn_apply_from_p1(params["backbone"], p1)
+        feats = resnet50_fpn_apply_from_p1(params["backbone"], p1,
+                                           trainable_layers=tbl)
     elif is_resnet:
         x = normalize_images(images, config.image_mean, config.image_std)
-        feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype)
+        feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype,
+                                   trainable_layers=tbl)
     else:
         from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
             mobilenet_v3_fpn_apply,
@@ -229,10 +249,12 @@ def detector_apply(
         x = normalize_images(images, config.image_mean, config.image_std)
         feats = mobilenet_v3_fpn_apply(params["backbone"], x, config.compute_dtype)
     # Features stay in compute_dtype (bf16): RoIAlign gathers and the SNN
-    # heads are HBM-bandwidth-bound. Backbone is frozen by reference
-    # semantics (generalized_rcnn.py:93-94) unless the train_backbone
-    # extension is enabled (see factory.DetectorConfig).
-    if not (training and getattr(config, "train_backbone", False)):
+    # heads are HBM-bandwidth-bound. With zero trainable stages the whole
+    # backbone INCLUDING the FPN is stop_gradient-ed — the reference's
+    # no_grad quirk (generalized_rcnn.py:93-94). With N > 0 the boundary
+    # sits inside the body (resnet50_fpn_apply), so the FPN and the
+    # trainable stage suffix receive real gradients.
+    if not (training and tbl > 0):
         feats = [jax.lax.stop_gradient(f) for f in feats]
 
     shapes = [(f.shape[1], f.shape[2]) for f in feats]

@@ -69,6 +69,15 @@ class DetectorConfig:
     # (tools/make_bench_weights.py) a frozen RANDOM backbone cannot learn
     # a working detector, so the synthetic-weights tool flips this.
     train_backbone: bool = False
+    # --trainable-backbone-layers N (reference train.py:66, consumed by
+    # torchvision's _resnet_fpn_extractor): train the top N ResNet stages
+    # (1 -> layer4, ..., 4 -> layer1, 5 -> + stem). Implemented with the
+    # semantics torchvision INTENDS — gradients really flow into those
+    # stages — unlike the reference, where generalized_rcnn.py:93-94 wraps
+    # the backbone in no_grad and silently makes the flag dead (PARITY.md).
+    # train_backbone=True is equivalent to 5. ResNet only (the mobilenet
+    # builders take the whole-backbone flag).
+    trainable_backbone_layers: int = 0
     # Design notes (round-3 housekeeping — the measured-slower alternates
     # are no longer config surface, only documented head-level arguments):
     #   * heads.*_apply(fast_encoder=True): closed-form encoder periods at
@@ -101,6 +110,18 @@ class DetectorConfig:
         return self.anchor_spec.num_anchors_per_location[0]
 
     @property
+    def backbone_trainable_stages(self) -> int:
+        """Resolved stage count: train_backbone (the all-or-nothing
+        extension) means all 5; otherwise --trainable-backbone-layers."""
+        n = 5 if self.train_backbone else self.trainable_backbone_layers
+        if n and self.backbone != "resnet50_fpn" and not self.train_backbone:
+            raise ValueError(
+                "--trainable-backbone-layers is stage-granular for ResNet "
+                "only; use train_backbone for the mobilenet families"
+            )
+        return n
+
+    @property
     def fpn_strides(self) -> Tuple[int, ...]:
         """Per-level feature strides of the configured backbone's FPN.
 
@@ -110,7 +131,9 @@ class DetectorConfig:
         assume the 5-level ResNet layout."""
         if self.backbone == "resnet50_fpn":
             return (4, 8, 16, 32, 64)
-        return (16, 32, 64)
+        # mobilenet: two stride-32 maps + the pool level (see
+        # models/mobilenet_fpn.py C4_IDX note).
+        return (32, 32, 64)
 
 
 def create_model(

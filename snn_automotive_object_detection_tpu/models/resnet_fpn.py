@@ -180,13 +180,21 @@ def _upsample_nearest_2x(x, target_hw):
 
 
 def resnet50_fpn_apply(
-    params: Dict[str, Any], x: jnp.ndarray, compute_dtype=jnp.bfloat16
+    params: Dict[str, Any], x: jnp.ndarray, compute_dtype=jnp.bfloat16,
+    trainable_layers: int = 0,
 ) -> List[jnp.ndarray]:
     """Backbone forward. x: [N, H, W, 3] normalized float.
 
     Returns 5 NHWC feature maps [P2, P3, P4, P5, P6(pool)] with 256 channels,
     strides 4/8/16/32/64 — the levels the reference exposes as features
     "0".."3" and "pool".
+
+    trainable_layers: gradients flow into the top N ResNet stages
+    (torchvision _resnet_fpn_extractor order: 1 -> layer4 ... 5 -> + stem);
+    a stop_gradient sits at the frozen-prefix boundary so the backward
+    never traverses frozen stages. 0 = fully frozen prefix — the CALLER
+    decides whether the FPN output itself is stop_gradient-ed (the
+    reference's no_grad quirk, models/detector.py).
     """
     x = x.astype(compute_dtype)
 
@@ -197,23 +205,36 @@ def resnet50_fpn_apply(
     ].astype(y.dtype)
     y = jax.nn.relu(y)
     y = _max_pool(y, 3, 2, (1, 1))
-    return resnet50_fpn_apply_from_p1(params, y)
+    return resnet50_fpn_apply_from_p1(params, y, trainable_layers)
 
 
 def resnet50_fpn_apply_from_p1(
-    params: Dict[str, Any], y: jnp.ndarray
+    params: Dict[str, Any], y: jnp.ndarray, trainable_layers: int = 0,
 ) -> List[jnp.ndarray]:
     """Layers 1-4 + FPN from the stem/pool output [N, H/4, W/4, 64].
 
     Split out so the fused Pallas stem (ops/pallas_stem.py — TPU bf16
     inference) can replace the stem stage above and feed the rest."""
+    # Stage layer{stage+1} is trainable iff trainable_layers >= 5 - (stage
+    # + 1); the trainable set is a suffix, so a stop_gradient at the first
+    # trainable stage's input cuts the main chain — and each FROZEN stage's
+    # FPN lateral tap must be cut too (C2..C4 feed the FPN directly, a
+    # gradient path around the boundary).
+    if trainable_layers >= 5:
+        first_trainable = 0
+    elif trainable_layers <= 0:
+        first_trainable = 4  # fully frozen; the CALLER stop_gradients feats
+    else:
+        first_trainable = 4 - trainable_layers
     cs = []
     for stage in range(4):
+        if 1 <= trainable_layers <= 4 and stage == first_trainable:
+            y = jax.lax.stop_gradient(y)
         blocks = params[f"layer{stage + 1}"]
         for b, bp in enumerate(blocks):
             stride = 2 if (b == 0 and stage > 0) else 1
             y = _bottleneck(y, bp, stride)
-        cs.append(y)  # C2, C3, C4, C5
+        cs.append(jax.lax.stop_gradient(y) if stage < first_trainable else y)
 
     # FPN top-down
     fpn = params["fpn"]

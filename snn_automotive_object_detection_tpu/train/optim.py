@@ -77,23 +77,43 @@ def split_trainable(
     freeze_rpn: bool = False,
     freeze_detector: bool = False,
     train_backbone: bool = False,
+    trainable_backbone_layers: int = 0,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Partition the param tree into (trainable, frozen) by module.
 
-    The ResNet body is always frozen; --freeze-fpn additionally freezes the
-    FPN convs; --freeze-rpn / --freeze-detector freeze the heads
-    (train.py:679-700). train_backbone (extension, see
-    factory.DetectorConfig) moves the body into the trainable set — only
-    useful together with the config flag of the same name, which stops the
-    detector from stop_gradient-ing the features.
+    trainable_backbone_layers = N trains the top N ResNet stages
+    (1 -> layer4 ... 5 -> + stem; torchvision _resnet_fpn_extractor order,
+    reference train.py:66); train_backbone (the all-or-nothing extension,
+    see factory.DetectorConfig) means all 5. --freeze-fpn freezes the FPN
+    convs; --freeze-rpn / --freeze-detector freeze the heads
+    (train.py:679-700).
+
+    With ZERO trainable stages the FPN goes to the frozen partition even
+    without --freeze-fpn: the detector stop_gradients the backbone output
+    (the reference's no_grad quirk), so FPN grads are identically zero —
+    keeping it "trainable" would let AdamW's weight decay silently erode
+    weights that torch (which skips grad-None params) leaves untouched.
     """
+    n = 5 if train_backbone else trainable_backbone_layers
     trainable: Dict[str, Any] = {}
     frozen: Dict[str, Any] = {}
 
     bb = dict(params["backbone"])
     fpn = bb.pop("fpn")
-    (trainable if train_backbone else frozen)["backbone"] = bb
-    if freeze_fpn:
+    if n >= 5:
+        trainable["backbone"] = bb
+    elif n <= 0:
+        frozen["backbone"] = bb
+    else:
+        # Stage-granular: layer{i} trains iff i >= 5 - n. Only the ResNet
+        # body has this layout (config validation rejects mobilenet + N).
+        t_bb = {k: v for k, v in bb.items()
+                if k.startswith("layer") and int(k[len("layer"):]) >= 5 - n}
+        f_bb = {k: v for k, v in bb.items() if k not in t_bb}
+        trainable["backbone"] = t_bb
+        frozen["backbone"] = f_bb
+
+    if freeze_fpn or n == 0:
         frozen["backbone_fpn"] = fpn
     else:
         trainable["backbone_fpn"] = fpn
@@ -110,7 +130,9 @@ def split_trainable(
 def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
     """Rebuild the full param tree from a split."""
     parts = {**frozen, **trainable}
-    backbone = dict(parts["backbone"])
+    backbone = {}
+    for src in (frozen, trainable):  # body may be split across both
+        backbone.update(src.get("backbone", {}))
     backbone["fpn"] = parts["backbone_fpn"]
     out = {"backbone": backbone, "rpn_head": parts["rpn_head"],
            "box_head": parts["box_head"]}

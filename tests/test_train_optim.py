@@ -69,9 +69,12 @@ def test_split_and_merge_roundtrip():
         for a, b in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # ResNet body is always frozen; FPN trainable by default.
+    # Default: ResNet body frozen; FPN frozen too — the detector
+    # stop_gradients the backbone output (reference no_grad quirk), so FPN
+    # grads are identically zero and a "trainable" FPN would only suffer
+    # AdamW weight decay torch never applies (grad-None params are skipped).
     tr, fr = split_trainable(params)
-    assert "backbone" in fr and "backbone_fpn" in tr
+    assert "backbone" in fr and "backbone_fpn" in fr
     assert "rpn_head" in tr and "box_head" in tr
 
 
@@ -170,3 +173,99 @@ def test_train_backbone_bf16_grads_compute():
 
     g = jax.grad(loss)(params)
     assert np.abs(np.asarray(g["backbone"]["stem"]["w"])).sum() > 0.0
+
+
+def test_trainable_backbone_layers_partition_and_grads():
+    """--trainable-backbone-layers 3 (reference train.py:66): layer2-4 +
+    FPN + heads train; stem/layer1 stay frozen with ZERO gradients (the
+    stop_gradient boundary sits at layer2's input)."""
+    import dataclasses
+
+    from snn_automotive_object_detection_tpu.models.detector import (
+        detector_apply,
+    )
+
+    cfg = DetectorConfig(num_classes=3, t_rpn=2, t_det=2,
+                         min_size=64, max_size=128, compute_dtype=jnp.float32,
+                         rpn_pallas=False, roi_pallas=False,
+                         trainable_backbone_layers=3)
+    assert cfg.backbone_trainable_stages == 3
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    # Partition: layer2-4 trainable, stem/layer1 frozen, FPN trainable.
+    tr, fr = split_trainable(params, trainable_backbone_layers=3)
+    assert set(tr["backbone"]) == {"layer2", "layer3", "layer4"}
+    assert set(fr["backbone"]) == {"stem", "layer1"}
+    assert "backbone_fpn" in tr
+    merged = merge_params(tr, fr)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3)),
+        "image_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "original_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]]),
+            "labels": jnp.asarray([[1]], jnp.int32),
+            "valid": jnp.asarray([[True]]),
+        },
+    }
+
+    def loss(params):
+        _, losses = detector_apply(params, batch, cfg, training=True,
+                                   rng=jax.random.PRNGKey(2))
+        return sum(losses.values())
+
+    g = jax.grad(loss)(params)
+
+    def total(tree):
+        return sum(float(np.abs(np.asarray(x)).sum())
+                   for x in jax.tree_util.tree_leaves(tree))
+
+    assert total(g["backbone"]["stem"]) == 0.0
+    assert total(g["backbone"]["layer1"]) == 0.0
+    for name in ("layer2", "layer3", "layer4", "fpn"):
+        assert total(g["backbone"][name]) > 0.0, name
+    assert total(g["rpn_head"]) > 0.0
+
+
+def test_trainable_backbone_layers_loss_decreases():
+    """A few optimizer steps at layers=3 reduce the training loss."""
+    from snn_automotive_object_detection_tpu.train.steps import make_train_step
+
+    cfg = DetectorConfig(num_classes=3, t_rpn=2, t_det=2,
+                         min_size=64, max_size=128, compute_dtype=jnp.float32,
+                         rpn_pallas=False, roi_pallas=False,
+                         trainable_backbone_layers=3)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, trainable_backbone_layers=3)
+    opt = build_optimizer("AdamW", 3e-4)
+    opt_state = opt.init(trainable)
+    step = make_train_step(cfg, opt)
+
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3)),
+        "image_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "original_sizes": jnp.asarray([[64, 128]], jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]]),
+            "labels": jnp.asarray([[1]], jnp.int32),
+            "valid": jnp.asarray([[True]]),
+        },
+    }
+    losses = []
+    for i in range(10):
+        trainable, opt_state, l = step(trainable, frozen, opt_state, batch,
+                                       jax.random.PRNGKey(7))
+        losses.append(float(l["loss_total"]))
+    # Single-batch SGD bounces step to step; compare window means.
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    # Frozen leaves are bit-identical after training.
+    merged = merge_params(trainable, frozen)
+    for part in ("stem", "layer1"):
+        for a, b in zip(jax.tree_util.tree_leaves(params["backbone"][part]),
+                        jax.tree_util.tree_leaves(merged["backbone"][part])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
