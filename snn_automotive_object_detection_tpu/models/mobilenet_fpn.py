@@ -3,9 +3,9 @@
 Functional JAX equivalent of the ``fasterrcnn_mobilenet_v3_large_fpn`` /
 ``..._320_fpn`` builders the reference vendors
 (/root/reference/faster_rcnn.py:703-831): MobileNetV3-Large with frozen
-BatchNorm, an FPN over the last two stages (C4 stride 16 / C5 stride 32)
-plus a LastLevelMaxPool level — 3 output levels with 256 channels, and
-5-sizes x 3-ratios anchors per location.
+BatchNorm, an FPN over the last two returned maps (both stride 32 — see the
+C4_IDX note) plus a LastLevelMaxPool level — 3 output levels with 256
+channels, and 5-sizes x 3-ratios anchors per location.
 
 The 320 variant additionally runs at min_size=320 / max_size=640 with
 reduced RPN budgets (pre/post NMS 150, score_thresh 0.05), wired in
@@ -48,10 +48,17 @@ V3_LARGE = [
     (5, 960, 160, True, True, 1),
 ]
 LAST_CONV = 960
-# C4 = features after the last block BEFORE the final downsample (stride 16,
-# 112 ch); C5 = final 1x1 conv output (stride 32, 960 ch).
-C4_IDX = 11
-C4_CHANNELS = 112
+# torchvision 0.13 _mobilenet_extractor (backbone_utils.py): stage_indices =
+# [0] + strided-block indices + [16] = [0, 2, 4, 7, 13, 16]; the FPN takes
+# the last two -> "0" = output of features[13] (the stride-2 160-ch block,
+# cumulative stride 32) and "1" = the final 1x1 conv (960 ch, stride 32).
+# in_channels_list = [160, 960]. Both levels share the 1/32 resolution (the
+# top-down "upsample" is a same-size add) — torchvision's actual behavior,
+# and the layout the released mobilenet .pth checkpoints have
+# (inner_blocks.0.weight is [256, 160, 1, 1]). features[13] is
+# blocks[C4_IDX] here (features index = block index + 1).
+C4_IDX = 12
+C4_CHANNELS = 160
 
 
 def _make_divisible(v, divisor=8):
@@ -156,7 +163,7 @@ def _block(x, p, spec):
 def mobilenet_v3_fpn_apply(
     params: Dict[str, Any], x: jnp.ndarray, compute_dtype=jnp.bfloat16
 ) -> List[jnp.ndarray]:
-    """Returns 3 NHWC levels [P4 (stride 16), P5 (stride 32), pool (64)]."""
+    """Returns 3 NHWC levels [P4 (stride 32), P5 (stride 32), pool (64)]."""
     x = x.astype(compute_dtype)
     y = hardswish(_bn(_conv(x, params["stem"]["w"], stride=2), params["stem"]["bn"]))
     c4 = None
@@ -169,7 +176,10 @@ def mobilenet_v3_fpn_apply(
     fpn = params["fpn"]
     lat4 = _conv(c4, fpn["inner"][0]["w"]) + fpn["inner"][0]["b"].astype(c4.dtype)
     lat5 = _conv(c5, fpn["inner"][1]["w"]) + fpn["inner"][1]["b"].astype(c5.dtype)
-    p4 = lat4 + _upsample_nearest_2x(lat5, lat4.shape[1:3])
+    # Both levels live at stride 32 (see C4_IDX note): torchvision's
+    # interpolate-to-size is the identity here, so add directly.
+    p4 = (lat4 + lat5 if lat4.shape == lat5.shape
+          else lat4 + _upsample_nearest_2x(lat5, lat4.shape[1:3]))
     outs = [
         _conv(p4, fpn["layer"][0]["w"]) + fpn["layer"][0]["b"].astype(p4.dtype),
         _conv(lat5, fpn["layer"][1]["w"]) + fpn["layer"][1]["b"].astype(lat5.dtype),

@@ -246,7 +246,8 @@ def multiscale_roi_align_pallas(
     stride_w = max(max(w for _, w in shapes), PW)
 
     levels = assign_fpn_levels(
-        boxes, num_levels, canonical_scale, canonical_level, k_min
+        boxes, num_levels, canonical_scale, canonical_level, k_min,
+        k_max=int(-math.log2(scales[-1])),
     ).reshape(-1)
 
     offs = [0]

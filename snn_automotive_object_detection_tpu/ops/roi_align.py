@@ -195,16 +195,22 @@ def assign_fpn_levels(
     canonical_level: float = 4.0,
     k_min: int = 2,
     eps: float = 1e-6,
+    k_max: int = None,
 ) -> jnp.ndarray:
     """FPN level index per box (0-based into the pooled levels).
 
     Matches torchvision ``LevelMapper``:
       lvl = floor(canonical_level + log2(sqrt(area)/canonical_scale) + eps),
-    clamped to [k_min, k_min + num_levels - 1], minus k_min.
+    clamped to [k_min, k_max], minus k_min. k_max defaults to the standard
+    pyramid's k_min + num_levels - 1; the mobilenet FPN has BOTH pooled
+    levels at stride 32 (k_max == k_min == 5), which routes every RoI to
+    level "0" exactly like torchvision — pass the real k_max there.
     """
+    if k_max is None:
+        k_max = k_min + num_levels - 1
     s = jnp.sqrt(box_area(boxes))
     lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale) + eps)
-    lvl = jnp.clip(lvl, k_min, k_min + num_levels - 1)
+    lvl = jnp.clip(lvl, k_min, k_max)
     return (lvl - k_min).astype(jnp.int32)
 
 
@@ -262,7 +268,8 @@ def multiscale_roi_align(
     lvl_scale = jnp.asarray(scales, boxes.dtype)
 
     levels = assign_fpn_levels(
-        boxes, num_levels, canonical_scale, canonical_level, k_min
+        boxes, num_levels, canonical_scale, canonical_level, k_min,
+        k_max=int(-math.log2(scales[-1])),
     )  # [N, R]
 
     def per_image(buf, rois, lvls):

@@ -142,6 +142,58 @@ def _fc6_permuted(sd, key, channels=256, res=7):
     return {"w": w.reshape(out_dim, -1).T}
 
 
+def _convert_mobilenet_body(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torchvision 0.13 mobilenet_v3_large features -> models/mobilenet_fpn
+    param tree (reference builders faster_rcnn.py:703-831).
+
+    Key layout: backbone.body.0.{0,1} stem conv+BN; backbone.body.{i}.block
+    .{j} for features 1..15, each block a Sequential of ConvNormActivation
+    ([expand,] dw, [SE,] project) with SE as fc1/fc2 1x1 convs;
+    backbone.body.16.{0,1} the final 1x1 conv."""
+    from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
+        V3_LARGE,
+    )
+
+    def pfx(k):
+        for p in ("backbone.body.", "body.", "features.", ""):
+            if f"{p}{k}" in sd or f"{p}{k}.weight" in sd:
+                return f"{p}{k}"
+        raise KeyError(k)
+
+    body: Dict[str, Any] = {
+        "stem": {"w": _conv_w(sd, pfx("0.0.weight")), "bn": _bn(sd, pfx("0.1"))}
+    }
+    cin = 16
+    blocks = []
+    for i, (k, exp, out, se, hs, stride) in enumerate(V3_LARGE):
+        base = pfx(f"{i + 1}.block.0.0.weight")[: -len("0.0.weight")]
+        j = 0
+        p: Dict[str, Any] = {}
+        if exp != cin:
+            p["expand"] = {"w": _conv_w(sd, f"{base}{j}.0.weight"),
+                           "bn": _bn(sd, f"{base}{j}.1")}
+            j += 1
+        p["dw"] = {"w": _conv_w(sd, f"{base}{j}.0.weight"),
+                   "bn": _bn(sd, f"{base}{j}.1")}
+        j += 1
+        if se:
+            p["se"] = {
+                "fc1": {"w": _conv_w(sd, f"{base}{j}.fc1.weight"),
+                        "b": _t2np(sd[f"{base}{j}.fc1.bias"])},
+                "fc2": {"w": _conv_w(sd, f"{base}{j}.fc2.weight"),
+                        "b": _t2np(sd[f"{base}{j}.fc2.bias"])},
+            }
+            j += 1
+        p["project"] = {"w": _conv_w(sd, f"{base}{j}.0.weight"),
+                        "bn": _bn(sd, f"{base}{j}.1")}
+        blocks.append(p)
+        cin = out
+    body["blocks"] = blocks
+    body["last"] = {"w": _conv_w(sd, pfx("16.0.weight")),
+                    "bn": _bn(sd, pfx("16.1"))}
+    return body
+
+
 def convert_torch_state_dict(
     sd: Dict[str, Any],
     rpn_snn: bool = True,
@@ -149,10 +201,12 @@ def convert_torch_state_dict(
 ) -> Dict[str, Any]:
     """Convert a reference checkpoint state_dict into this framework's
     parameter pytree. Key layout follows torchvision 0.13's
-    fasterrcnn_resnet50_fpn with the reference's SNN replacements
-    (backbone.body.*, backbone.fpn.*, rpn.head.*,
-    roi_heads.box_head_and_predictor.* / box_head+box_predictor)."""
+    fasterrcnn_resnet50_fpn / fasterrcnn_mobilenet_v3_large_fpn (detected
+    from the keys) with the reference's SNN replacements (backbone.body.*,
+    backbone.fpn.*, rpn.head.*, roi_heads.box_head_and_predictor.* /
+    box_head+box_predictor)."""
     sd = {k: v for k, v in sd.items()}
+    is_mobilenet = any(".block.0.0.weight" in k for k in sd)
 
     def bkey(k):
         # accept both bare resnet keys and the detector's backbone.body. prefix
@@ -161,32 +215,37 @@ def convert_torch_state_dict(
                 return f"{p}{k}"
         raise KeyError(k)
 
-    backbone: Dict[str, Any] = {
-        "stem": {"w": _conv_w(sd, bkey("conv1.weight")), "bn": _bn(sd, bkey("bn1"))}
-    }
-    blocks_per_stage = (3, 4, 6, 3)
-    for stage, n_blocks in enumerate(blocks_per_stage, start=1):
-        blocks = []
-        for b in range(n_blocks):
-            pre = bkey(f"layer{stage}.{b}.conv1.weight")[: -len("conv1.weight")]
-            blk = {
-                "conv1": {"w": _conv_w(sd, f"{pre}conv1.weight"),
-                          "bn": _bn(sd, f"{pre}bn1")},
-                "conv2": {"w": _conv_w(sd, f"{pre}conv2.weight"),
-                          "bn": _bn(sd, f"{pre}bn2")},
-                "conv3": {"w": _conv_w(sd, f"{pre}conv3.weight"),
-                          "bn": _bn(sd, f"{pre}bn3")},
-            }
-            if f"{pre}downsample.0.weight" in sd:
-                blk["downsample"] = {
-                    "w": _conv_w(sd, f"{pre}downsample.0.weight"),
-                    "bn": _bn(sd, f"{pre}downsample.1"),
+    if is_mobilenet:
+        backbone = _convert_mobilenet_body(sd)
+    else:
+        backbone = {
+            "stem": {"w": _conv_w(sd, bkey("conv1.weight")),
+                     "bn": _bn(sd, bkey("bn1"))}
+        }
+        blocks_per_stage = (3, 4, 6, 3)
+        for stage, n_blocks in enumerate(blocks_per_stage, start=1):
+            blocks = []
+            for b in range(n_blocks):
+                pre = bkey(f"layer{stage}.{b}.conv1.weight")[: -len("conv1.weight")]
+                blk = {
+                    "conv1": {"w": _conv_w(sd, f"{pre}conv1.weight"),
+                              "bn": _bn(sd, f"{pre}bn1")},
+                    "conv2": {"w": _conv_w(sd, f"{pre}conv2.weight"),
+                              "bn": _bn(sd, f"{pre}bn2")},
+                    "conv3": {"w": _conv_w(sd, f"{pre}conv3.weight"),
+                              "bn": _bn(sd, f"{pre}bn3")},
                 }
-            blocks.append(blk)
-        backbone[f"layer{stage}"] = blocks
+                if f"{pre}downsample.0.weight" in sd:
+                    blk["downsample"] = {
+                        "w": _conv_w(sd, f"{pre}downsample.0.weight"),
+                        "bn": _bn(sd, f"{pre}downsample.1"),
+                    }
+                blocks.append(blk)
+            backbone[f"layer{stage}"] = blocks
 
     # FPN: tv<=0.12 keys inner_blocks.<i>.weight, tv 0.13 Conv2dNormActivation
-    # keys inner_blocks.<i>.0.weight — accept both.
+    # keys inner_blocks.<i>.0.weight — accept both. ResNet has 4 lateral
+    # pairs, mobilenet 2 (C4/C5 of _mobilenet_extractor).
     def fpn_conv(group, i):
         for pat in (f"backbone.fpn.{group}.{i}.weight",
                     f"backbone.fpn.{group}.{i}.0.weight",
@@ -196,9 +255,10 @@ def convert_torch_state_dict(
                         "b": _t2np(sd[pat.replace("weight", "bias")])}
         raise KeyError(f"fpn {group} {i}")
 
+    n_fpn = 2 if is_mobilenet else 4
     backbone["fpn"] = {
-        "inner": [fpn_conv("inner_blocks", i) for i in range(4)],
-        "layer": [fpn_conv("layer_blocks", i) for i in range(4)],
+        "inner": [fpn_conv("inner_blocks", i) for i in range(n_fpn)],
+        "layer": [fpn_conv("layer_blocks", i) for i in range(n_fpn)],
     }
 
     params: Dict[str, Any] = {"backbone": backbone}

@@ -163,6 +163,142 @@ class Backbone(nn.Module):
         return self.fpn(self.body(x))
 
 
+# ------------------------------------------------ MobileNetV3-Large mirror
+# torchvision 0.13 mobilenet_v3_large key layout (features.{i}; Conv2dNorm-
+# Activation = .0 conv / .1 norm; InvertedResidual = .block.{j}; SE =
+# .fc1/.fc2), so convert_torch_state_dict's mobilenet branch is validated
+# against a real torch forward (reference builders faster_rcnn.py:703-831).
+
+# (kernel, expanded, out, use_se, use_hs, stride) — must match
+# models/mobilenet_fpn.V3_LARGE.
+V3_LARGE_SPEC = [
+    (3, 16, 16, False, False, 1),
+    (3, 64, 24, False, False, 2),
+    (3, 72, 24, False, False, 1),
+    (5, 72, 40, True, False, 2),
+    (5, 120, 40, True, False, 1),
+    (5, 120, 40, True, False, 1),
+    (3, 240, 80, False, True, 2),
+    (3, 200, 80, False, True, 1),
+    (3, 184, 80, False, True, 1),
+    (3, 184, 80, False, True, 1),
+    (3, 480, 112, True, True, 1),
+    (3, 672, 112, True, True, 1),
+    (5, 672, 160, True, True, 2),
+    (5, 960, 160, True, True, 1),
+    (5, 960, 160, True, True, 1),
+]
+
+
+def _mnv3_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _ConvNormAct(nn.Module):
+    """Conv2dNormActivation with frozen BN: submodules named "0"/"1"."""
+
+    def __init__(self, cin, cout, k=1, stride=1, groups=1, act="hs"):
+        super().__init__()
+        self.add_module("0", nn.Conv2d(cin, cout, k, stride, k // 2,
+                                       groups=groups, bias=False))
+        self.add_module("1", FrozenBN(cout))
+        self._act = act
+
+    def forward(self, x):
+        x = getattr(self, "1")(getattr(self, "0")(x))
+        if self._act == "hs":
+            return F.hardswish(x)
+        if self._act == "relu":
+            return F.relu(x)
+        return x
+
+
+class _SqueezeExcitation(nn.Module):
+    def __init__(self, c, sq):
+        super().__init__()
+        self.fc1 = nn.Conv2d(c, sq, 1)
+        self.fc2 = nn.Conv2d(sq, c, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = F.hardsigmoid(self.fc2(F.relu(self.fc1(s))))
+        return x * s
+
+
+class _InvertedResidual(nn.Module):
+    def __init__(self, cin, spec):
+        super().__init__()
+        k, exp, out, se, hs, stride = spec
+        act = "hs" if hs else "relu"
+        layers = []
+        if exp != cin:
+            layers.append(_ConvNormAct(cin, exp, 1, act=act))
+        layers.append(_ConvNormAct(exp, exp, k, stride, groups=exp, act=act))
+        if se:
+            layers.append(_SqueezeExcitation(exp, _mnv3_divisible(exp // 4)))
+        layers.append(_ConvNormAct(exp, out, 1, act=None))
+        self.block = nn.Sequential(*layers)
+        self._residual = stride == 1 and cin == out
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self._residual else y
+
+
+class MobileNetV3Body(nn.Module):
+    """features.0..16; returns [features[13] out (160ch), features[16] out
+    (960ch)] — torchvision _mobilenet_extractor's two FPN inputs."""
+
+    def __init__(self):
+        super().__init__()
+        self.add_module("0", _ConvNormAct(3, 16, 3, 2, act="hs"))
+        cin = 16
+        for i, spec in enumerate(V3_LARGE_SPEC):
+            self.add_module(str(i + 1), _InvertedResidual(cin, spec))
+            cin = spec[2]
+        self.add_module("16", _ConvNormAct(cin, 960, 1, act="hs"))
+
+    def forward(self, x):
+        c4 = None
+        for i in range(17):
+            x = getattr(self, str(i))(x)
+            if i == 13:
+                c4 = x
+        return [c4, x]
+
+
+class MobileFPN(nn.Module):
+    def __init__(self, channels=(160, 960), out=256):
+        super().__init__()
+        self.inner_blocks = nn.ModuleList(
+            [nn.Conv2d(c, out, 1) for c in channels]
+        )
+        self.layer_blocks = nn.ModuleList(
+            [nn.Conv2d(out, out, 3, padding=1) for _ in channels]
+        )
+
+    def forward(self, cs):
+        lat = [m(c) for m, c in zip(self.inner_blocks, cs)]
+        p4 = lat[0] + F.interpolate(lat[1], size=lat[0].shape[-2:],
+                                    mode="nearest")
+        outs = [self.layer_blocks[0](p4), self.layer_blocks[1](lat[1])]
+        outs.append(F.max_pool2d(outs[-1], 1, 2))
+        return outs
+
+
+class MobileBackbone(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.body = MobileNetV3Body()
+        self.fpn = MobileFPN()
+
+    def forward(self, x):
+        return self.fpn(self.body(x))
+
+
 # ------------------------------------------------------------ SNN heads
 
 
@@ -268,15 +404,19 @@ class BoxHeadSNNMirror(nn.Module):
 # ------------------------------------------------------------ detection ops
 
 
-def anchors_for(shapes, image_size):
+def anchors_for(shapes, image_size, sizes=None):
+    """sizes: one entry per level; an entry may itself be a tuple (the
+    mobilenet spec uses all 5 sizes at every level). Cell ordering is
+    ratio-major × size-minor like torchvision's AnchorGenerator."""
     out = []
-    sizes = (32, 64, 128, 256, 512)
+    sizes = sizes if sizes is not None else (32, 64, 128, 256, 512)
     ratios = (0.5, 1.0, 2.0)
     for (fh, fw), size in zip(shapes, sizes):
         sh, sw = image_size[0] // fh, image_size[1] // fw
+        sz = np.atleast_1d(np.asarray(size, np.float64))
         hr = np.sqrt(ratios)
-        ws = (1 / hr) * size
-        hs = hr * size
+        ws = ((1 / hr)[:, None] * sz[None, :]).ravel()
+        hs = (hr[:, None] * sz[None, :]).ravel()
         cell = np.stack([-ws, -hs, ws, hs], 1) / 2
         cell = cell.round()
         ys, xs = np.meshgrid(np.arange(fh) * sh, np.arange(fw) * sw, indexing="ij")
@@ -341,7 +481,11 @@ def roi_align_ms(feats, boxes, image_size, out_size=7, sampling=2):
     scales = [2.0 ** round(math.log2(s[0] / image_size[0])) for s in shapes]
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     lvl = torch.floor(4 + torch.log2(torch.sqrt(area) / 224 + 1e-6))
-    lvl = torch.clamp(lvl, 2, 5).long() - 2
+    # LevelMapper bounds from the actual scales (resnet: 2..5; mobilenet:
+    # both pooled maps are stride 32 -> 5..5, every RoI pools from "0").
+    k_min = int(round(-math.log2(scales[0])))
+    k_max = int(round(-math.log2(scales[-1])))
+    lvl = torch.clamp(lvl, k_min, k_max).long() - k_min
 
     n_rois = boxes.shape[0]
     c = feats[0].shape[1]
@@ -395,11 +539,18 @@ class MirrorDetector(nn.Module):
     """Single-image eval pipeline matching the reference's SNN detector."""
 
     def __init__(self, num_classes=9, t_rpn=8, t_det=12, only_one_bbox=False,
-                 mean=(0.2869, 0.3251, 0.2839), std=(0.1870, 0.1902, 0.1872)):
+                 mean=(0.2869, 0.3251, 0.2839), std=(0.1870, 0.1902, 0.1872),
+                 backbone="resnet50"):
         super().__init__()
-        self.backbone = Backbone()
+        self._mobile = backbone == "mobilenet"
+        # mobilenet anchors: all 5 sizes x 3 ratios at each of the 3 levels
+        # (reference faster_rcnn.py:726-735).
+        self.anchor_sizes = (((32, 64, 128, 256, 512),) * 3 if self._mobile
+                             else (32, 64, 128, 256, 512))
+        self.backbone = MobileBackbone() if self._mobile else Backbone()
         self.rpn = nn.Module()
-        self.rpn.head = RPNHeadSNNMirror(num_steps=t_rpn)
+        self.rpn.head = RPNHeadSNNMirror(num_steps=t_rpn,
+                                         a=15 if self._mobile else 3)
         self.roi_heads = nn.Module()
         self.roi_heads.box_head_and_predictor = BoxHeadSNNMirror(
             num_classes=num_classes, num_steps=t_det,
@@ -430,7 +581,8 @@ class MirrorDetector(nn.Module):
             obj_maps, reg_maps = self.rpn.head(feats)
 
         shapes = [(f.shape[-2], f.shape[-1]) for f in feats]
-        anchors = anchors_for(shapes, (image.shape[-2], image.shape[-1]))
+        anchors = anchors_for(shapes, (image.shape[-2], image.shape[-1]),
+                              sizes=self.anchor_sizes)
 
         all_boxes, all_scores, all_lvls = [], [], []
         for li, (o, r, a) in enumerate(zip(obj_maps, reg_maps, anchors)):
@@ -458,7 +610,8 @@ class MirrorDetector(nn.Module):
         keep = batched_nms(boxes, scores, lvls, self.rpn_nms_thresh)[: self.post_nms]
         proposals = boxes[keep]
 
-        pooled = roi_align_ms(feats[:4], proposals, (image.shape[-2], image.shape[-1]))
+        pooled = roi_align_ms(feats[:-1], proposals,
+                              (image.shape[-2], image.shape[-1]))
         if collect_rates:
             cls_logits, box_reg, det_rates = self.roi_heads.box_head_and_predictor(
                 pooled, collect_rates=True
