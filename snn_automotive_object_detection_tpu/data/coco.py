@@ -155,6 +155,20 @@ class CocoDataset:
     def image_path(self, image_id) -> str:
         return os.path.join(self.images_dir, self.index.imgs[image_id]["file_name"])
 
+    def get_height_and_width(self, i: int):
+        """Per-image (h, w) from COCO metadata WITHOUT decoding pixels —
+        the torchvision GroupedBatchSampler protocol the loader's
+        orientation bucketing uses (reference train.py:103). Falls back to
+        a header-only PIL open for jsons missing the size fields."""
+        info = self.index.imgs[self.ids[i]]
+        h, w = info.get("height"), info.get("width")
+        if h is None or w is None:
+            from PIL import Image
+
+            with Image.open(self.image_path(self.ids[i])) as im:
+                w, h = im.size  # header read only; pixels stay undecoded
+        return int(h), int(w)
+
     def __getitem__(self, i: int):
         import cv2
 

@@ -42,6 +42,23 @@ class IDDDataset:
     def __len__(self):
         return len(self.image_paths)
 
+    def get_height_and_width(self, i: int):
+        """(h, w) from the VOC XML <size> block (no pixel decode) — the
+        loader's orientation-bucketing protocol; header-only PIL fallback
+        when an annotation omits it."""
+        root = ET.parse(self.ann_paths[i]).getroot()
+        size = root.find("size")
+        if size is not None:
+            h = size.findtext("height")
+            w = size.findtext("width")
+            if h and w:
+                return int(h), int(w)
+        from PIL import Image
+
+        with Image.open(self.image_paths[i]) as im:
+            w, h = im.size
+        return int(h), int(w)
+
     def _parse_xml(self, path: str):
         root = ET.parse(path).getroot()
         labels, boxes = [], []

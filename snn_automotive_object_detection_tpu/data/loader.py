@@ -13,8 +13,23 @@ Replaces torch DataLoader + GeneralizedRCNNTransform batching
 yielding batches the jitted model consumes without recompilation. Worker
 threads overlap decode/augment with TPU compute (cv2 releases the GIL).
 
+Aspect-ratio grouping (reference train.py:103 ``--aspect-ratio-group-factor``
++ torchvision GroupedBatchSampler): images are bucketed by ORIENTATION —
+landscape into ``bucket`` (min_size, max_size), portrait into the transposed
+bucket — and every batch is orientation-homogeneous, so a mixed dataset
+(e.g. Pascal VOC) compiles exactly TWO jit variants instead of crashing the
+fixed landscape bucket. Orientation comes from dataset metadata
+(``get_height_and_width``, the torchvision sampler's own protocol) without
+decoding pixels; datasets that don't expose it are treated as
+all-landscape (the original single-bucket behavior).
+
 Data-parallel sharding: ``shard=(process_index, process_count)`` splits the
-dataset like the reference's DistributedSampler (train.py:594-607).
+dataset like the reference's DistributedSampler (train.py:594-607). The
+group partition is derived from metadata identically on every process, and
+each orientation group is wrap-around padded to the world size — so all
+ranks yield the same number of batches with the SAME bucket sequence
+(bucket b on rank 0 is bucket b everywhere), keeping jitted collectives in
+lockstep.
 """
 
 from __future__ import annotations
@@ -116,69 +131,108 @@ class DetectionLoader:
         """DistributedSampler.set_epoch equivalent (train.py:900-903)."""
         self.epoch = epoch
 
-    def _indices(self) -> List[int]:
+    def _portrait_flags(self) -> Optional[np.ndarray]:
+        """bool[n]: image i is portrait (h > w). None when the dataset has no
+        cheap size metadata -> single-bucket (all-landscape) behavior.
+        ``get_height_and_width`` is the same per-image protocol torchvision's
+        GroupedBatchSampler path uses (reference train.py:103)."""
+        get_hw = getattr(self.dataset, "get_height_and_width", None)
+        if get_hw is None:
+            return None
+        n = len(self.dataset)
+        flags = np.zeros(n, bool)
+        for i in range(n):
+            h, w = get_hw(i)
+            flags[i] = h > w
+        return flags if flags.any() else None
+
+    def _bucket_for(self, portrait: bool) -> Tuple[int, int]:
+        hb, wb = self.bucket
+        return (wb, hb) if portrait else (hb, wb)
+
+    def _batches(self) -> List[Tuple[List[int], Tuple[int, int]]]:
+        """The epoch plan: [(dataset indices, bucket)] — every batch
+        orientation-homogeneous, identical bucket sequence on all ranks."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        flags = self._portrait_flags()
         rank, world = self.shard
-        if world > 1 and n % world:
-            # DistributedSampler-style wrap-around padding: every process
-            # must yield the SAME number of batches or multi-host collectives
-            # desynchronize. Tile the index list when the pad exceeds the
-            # dataset size (torch DistributedSampler's indices * ceil rule) —
-            # a short pad would give ranks unequal shard lengths and deadlock
-            # the collectives. Duplicated images are deduplicated at the
-            # evaluator merge (evaluation/coco_metrics.py merge_from).
-            pad = world - n % world
-            reps = -(-pad // n)
-            idx = np.concatenate([idx] * (1 + reps))[: n + pad]
-        out = idx[rank::world].tolist()
-        if self.drop_last:
-            # Truncate the tail here so __iter__ never decodes images that
-            # no batch will consume.
-            out = out[: (len(out) // self.batch_size) * self.batch_size]
+        out: List[Tuple[List[int], Tuple[int, int]]] = []
+        for portrait in (False, True):
+            grp = idx if flags is None else idx[flags[idx] == portrait]
+            if not len(grp):
+                continue
+            g = len(grp)
+            if world > 1 and g % world:
+                # DistributedSampler-style wrap-around padding PER GROUP:
+                # every process must yield the SAME number of batches of the
+                # SAME bucket or multi-host collectives desynchronize. Tile
+                # when the pad exceeds the group size (torch
+                # DistributedSampler's indices * ceil rule) — a short pad
+                # would give ranks unequal shard lengths and deadlock the
+                # collectives. Duplicated images are deduplicated at the
+                # evaluator merge (evaluation/coco_metrics.py merge_from).
+                pad = world - g % world
+                reps = -(-pad // g)
+                grp = np.concatenate([grp] * (1 + reps))[: g + pad]
+            local = grp[rank::world].tolist()
+            if self.drop_last:
+                # Truncate the tail here so __iter__ never decodes images
+                # that no batch will consume.
+                local = local[: (len(local) // self.batch_size)
+                              * self.batch_size]
+            bucket = self._bucket_for(portrait)
+            for lo in range(0, len(local), self.batch_size):
+                out.append((local[lo:lo + self.batch_size], bucket))
+            if flags is None:
+                break  # no metadata -> single landscape pass
         return out
 
-    def __len__(self):
-        n = len(self._indices())
-        if self.drop_last:
-            return n // self.batch_size
-        return math.ceil(n / self.batch_size)
+    def _indices(self) -> List[int]:
+        """Flat rank-local index list (batch order)."""
+        return [i for b, _ in self._batches() for i in b]
 
-    def _load_one(self, i: int):
+    def __len__(self):
+        return len(self._batches())
+
+    def _load_one(self, i: int, bucket: Tuple[int, int]):
         img, target = self.dataset[i]
         orig = img.shape[:2]
         img, target, new_size = resize_image_and_target(
             img, target if self.with_targets else target, self.min_size, self.max_size
         )
-        hb, wb = self.bucket
+        hb, wb = bucket
         nh, nw = new_size
         assert nh <= hb and nw <= wb, (
-            f"resized image {new_size} exceeds bucket {self.bucket}"
+            f"resized image {new_size} exceeds bucket {bucket}"
         )
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:nh, :nw] = img
         return padded, target, new_size, orig
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._indices()
+        plan = self._batches()
         results: Dict[int, tuple] = {}
         lock = threading.Lock()
         todo = queue.Queue()
-        for pos, i in enumerate(indices):
-            todo.put((pos, i))
+        pos = 0
+        for batch_idx, bucket in plan:
+            for i in batch_idx:
+                todo.put((pos, i, bucket))
+                pos += 1
         errors = []
 
         def worker():
             while True:
                 try:
-                    pos, i = todo.get_nowait()
+                    pos, i, bucket = todo.get_nowait()
                 except queue.Empty:
                     return
                 try:
-                    out = self._load_one(i)
+                    out = self._load_one(i, bucket)
                 except Exception as e:  # propagate to the consumer
                     errors.append(e)
                     out = None
@@ -203,11 +257,11 @@ class DetectionLoader:
                 raise errors[0]
             return out
 
-        n_batches = len(self)
-        for b in range(n_batches):
-            lo = b * self.batch_size
-            hi = min(lo + self.batch_size, len(indices))
+        lo = 0
+        for batch_idx, bucket in plan:
+            hi = lo + len(batch_idx)
             items = [take(p) for p in range(lo, hi)]
+            lo = hi
             pad_mask = np.zeros(self.batch_size, bool)
             pad_mask[: len(items)] = True
             while len(items) < self.batch_size:

@@ -107,6 +107,7 @@ def rpn_head_snn_apply(
     collect_rates: bool = False,
     compute_dtype=jnp.bfloat16,
     fast_encoder: bool = False,
+    state_dtype=None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], Optional[Dict[str, jnp.ndarray]]]:
     """Spiking RPN head over all FPN levels.
 

@@ -12,11 +12,12 @@ import os
 import numpy as np
 
 
-def make_mini_env(tmp, seed: int = 0, n_images: int = 4):
+def make_mini_env(tmp, seed: int = 0, n_images: int = 4, sizes=None):
     """Build a tiny dataset under ``tmp``; returns (tmp, ds_yaml, model_yaml).
 
     Deterministic in (seed, n_images) so independent processes can recreate
-    byte-identical inputs.
+    byte-identical inputs. ``sizes``: optional per-image (h, w) list — pass
+    portrait shapes to build a pascal-layout (mixed-orientation) set.
     """
     import cv2
 
@@ -27,7 +28,7 @@ def make_mini_env(tmp, seed: int = 0, n_images: int = 4):
     images, annotations = [], []
     aid = 1
     for i in range(1, n_images + 1):
-        h, w = 128, 256
+        h, w = sizes[i - 1] if sizes else (128, 256)
         img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
         cv2.imwrite(os.path.join(img_dir, f"{i}.png"), img)
         images.append({"id": i, "file_name": f"{i}.png",
