@@ -62,6 +62,10 @@ def _trainable_stages(config) -> int:
 def make_head_applies(config, params, collect_rates: bool, training: bool = False):
     """Bind head apply functions for the configured (SNN / ANN) variants."""
     dtype = config.compute_dtype
+    # Mixed AMP-style precision: neuron states in snn_state_dtype (f32)
+    # while convs/GEMMs stay in compute_dtype (factory.py snn_state_dtype).
+    sdt = getattr(config, "snn_state_dtype", None)
+    mixed_state = sdt is not None and jnp.dtype(sdt) != jnp.dtype(dtype)
 
     fast_enc = getattr(config, "fast_encoder", False)
     # Fused Pallas RPN head (snn/pallas_rpn.py): TPU-only (interpret mode is
@@ -83,6 +87,10 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         # XLA scan's real feature gradients.
         and not (training and _trainable_stages(config) > 0)
         and dtype == jnp.bfloat16
+        # The kernel's state_dtype is all-or-nothing (weights + states);
+        # mixed f32-state/bf16-GEMM runs keep the XLA scan until the
+        # kernel grows a mixed mode.
+        and not mixed_state
         and jax.default_backend() == "tpu"
     )
 
@@ -110,7 +118,7 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
             return heads.rpn_head_snn_apply(
                 params["rpn_head"], features, config.t_rpn,
                 collect_rates=collect_rates, compute_dtype=dtype,
-                fast_encoder=fast_enc,
+                fast_encoder=fast_enc, state_dtype=sdt,
             )
     else:
         def rpn_head_apply(features):
@@ -152,7 +160,7 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
                 params["box_head"], flat, config.t_det,
                 collect_rates=collect_rates, compute_dtype=dtype,
                 fast_encoder=fast_enc, precompute_fc6=pre_fc6,
-                pallas_fc6=use_pallas_fc6,
+                pallas_fc6=use_pallas_fc6, state_dtype=sdt,
             )
     else:
         def box_head_apply(flat):

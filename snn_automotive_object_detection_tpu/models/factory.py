@@ -46,6 +46,12 @@ class DetectorConfig:
     rpn: RPNConfig = RPNConfig()
     roi: RoIConfig = RoIConfig()
     compute_dtype: Any = jnp.bfloat16
+    # Dtype carrying the SNN neuron states (encoder/LIF membranes +
+    # currents, LI readout) when it should differ from compute_dtype:
+    # None -> compute_dtype. jnp.float32 with bf16 compute reproduces the
+    # reference's AMP numerics (train.py:79 autocasts convs/GEMMs while
+    # norse keeps its state tensors fp32) on the XLA head paths.
+    snn_state_dtype: Any = None
     fpn_channels: int = 256
     representation_size: int = 1024
     # Fused Pallas RPN head (snn/pallas_rpn.py) — TPU + bf16 only; eval and

@@ -131,13 +131,18 @@ def rpn_head_snn_apply(
     # the spike tensor once per step instead of twice), split at the end.
     w_out = jnp.concatenate([w_cls, w_bbox], axis=-1)
 
-    # LIF state is carried in compute_dtype: the big [N, H, W, 256] membrane
-    # and current tensors dominate HBM traffic at fp32 (the SNN step loop is
-    # memory-bound, not FLOP-bound). fp32 mode remains available for
-    # bit-level parity runs via compute_dtype=jnp.float32.
-    sd = compute_dtype
+    # LIF state is carried in compute_dtype by default: the big
+    # [N, H, W, 256] membrane and current tensors dominate HBM traffic at
+    # fp32 (the SNN step loop is memory-bound, not FLOP-bound). fp32 mode
+    # remains available for bit-level parity runs via
+    # compute_dtype=jnp.float32. state_dtype (when it differs) carries ONLY
+    # the neuron states (encoder/LIF membranes + currents, LI readout) in
+    # that dtype while convs stay in compute_dtype — the reference's AMP
+    # semantics (train.py:79 autocasts convs, norse state stays fp32).
+    cd = compute_dtype
+    sd = state_dtype or cd
     for feat in features:
-        x = feat.astype(sd)
+        x = feat.astype(cd)
         n, h, w, c = x.shape
         a = w_cls.shape[-1]
         # Constant-current encoder in closed form: one period map replaces
@@ -147,19 +152,20 @@ def rpn_head_snn_apply(
         def step(carry, t):
             v_enc, lif, li_out, cnt_enc, cnt_shared = carry
             if fast_encoder:
-                z = snnf.encoder_spikes_at(periods, t, sd)
+                z = snnf.encoder_spikes_at(periods, t, cd)
             else:
-                z, v_enc = snnf.lif_current_encoder(x, v_enc)
-            cur = _conv(z, w_shared).astype(sd)
+                z, v_enc = snnf.lif_current_encoder(x.astype(sd), v_enc)
+            cur = _conv(z.astype(cd), w_shared).astype(sd)
             s, lif = snnf.lif_feed_forward_step(cur, lif)
-            _, li_out = snnf.li_feed_forward_step(_conv(s, w_out).astype(sd), li_out)
+            _, li_out = snnf.li_feed_forward_step(
+                _conv(s.astype(cd), w_out).astype(sd), li_out)
             if collect_rates:
                 cnt_enc = cnt_enc + z.astype(jnp.float32).sum(axis=(1, 2, 3))
                 cnt_shared = cnt_shared + s.astype(jnp.float32).sum(axis=(1, 2, 3))
             return (v_enc, lif, li_out, cnt_enc, cnt_shared), None
 
         carry0 = (
-            jnp.zeros((1,), sd) if fast_encoder else jnp.zeros_like(x),
+            jnp.zeros((1,), sd) if fast_encoder else jnp.zeros(x.shape, sd),
             snnf.zeros_lif_state(x.shape, sd),
             snnf.zeros_li_state((n, h, w, 5 * a), sd),
             jnp.zeros((n,)),
@@ -240,6 +246,7 @@ def fastrcnn_snn_apply(
     fast_encoder: bool = False,
     precompute_fc6: bool = False,
     pallas_fc6: bool = False,
+    state_dtype=None,
 ):
     """Spiking box head. x: [R, C*7*7] flattened RoI features.
 
@@ -253,8 +260,9 @@ def fastrcnn_snn_apply(
     The sequential LIF/fc7/readout scan then consumes the precomputed
     currents. Spike trains are identical to fast_encoder=True.
     """
-    sd = compute_dtype  # see rpn_head_snn_apply: states carried in bf16
-    x = x.astype(sd)
+    cd = compute_dtype  # GEMM operand dtype
+    sd = state_dtype or cd  # carried neuron states (see rpn_head_snn_apply)
+    x = x.astype(cd)
     r, d_in = x.shape
     rep = params["fc6"]["w"].shape[1]
     n_cls = params["cls_score"]["w"].shape[1]
@@ -275,16 +283,16 @@ def fastrcnn_snn_apply(
         )
 
         cur6_all, enc_counts = encoder_fc6_pallas(
-            x, w6, num_steps, state_dtype=sd, collect_rates=collect_rates
+            x, w6, num_steps, state_dtype=cd, collect_rates=collect_rates
         )
         return _fastrcnn_snn_from_cur6(
-            cur6_all.astype(sd), w7, wc, wb, num_steps, collect_rates, sd,
-            enc_counts=enc_counts, d_in=d_in,
+            cur6_all.astype(cd), w7, wc, wb, num_steps, collect_rates, cd,
+            enc_counts=enc_counts, d_in=d_in, state_dtype=sd,
         )
 
     if precompute_fc6:
         return _fastrcnn_snn_precomputed(
-            x, w6, w7, wc, wb, num_steps, collect_rates, sd
+            x, w6, w7, wc, wb, num_steps, collect_rates, cd, state_dtype=sd
         )
 
     periods = snnf.encoder_periods(x) if fast_encoder else None
@@ -292,13 +300,17 @@ def fastrcnn_snn_apply(
     def step(carry, t):
         v_enc, l6, l7, li_c, li_b, c_enc, c6, c7 = carry
         if fast_encoder:
-            z = snnf.encoder_spikes_at(periods, t, sd)
+            z = snnf.encoder_spikes_at(periods, t, cd)
         else:
-            z, v_enc = snnf.lif_current_encoder(x, v_enc)
-        s6, l6 = snnf.lif_feed_forward_step(_linear(z, w6).astype(sd), l6)
-        s7, l7 = snnf.lif_feed_forward_step(_linear(s6, w7).astype(sd), l7)
-        mc, li_c = snnf.li_feed_forward_step(_linear(s7, wc).astype(sd), li_c)
-        mb, li_b = snnf.li_feed_forward_step(_linear(s7, wb).astype(sd), li_b)
+            z, v_enc = snnf.lif_current_encoder(x.astype(sd), v_enc)
+        s6, l6 = snnf.lif_feed_forward_step(
+            _linear(z.astype(cd), w6).astype(sd), l6)
+        s7, l7 = snnf.lif_feed_forward_step(
+            _linear(s6.astype(cd), w7).astype(sd), l7)
+        mc, li_c = snnf.li_feed_forward_step(
+            _linear(s7.astype(cd), wc).astype(sd), li_c)
+        mb, li_b = snnf.li_feed_forward_step(
+            _linear(s7.astype(cd), wb).astype(sd), li_b)
         if collect_rates:
             c_enc = c_enc + z.astype(jnp.float32).sum(axis=1)
             c6 = c6 + s6.astype(jnp.float32).sum(axis=1)
@@ -306,7 +318,7 @@ def fastrcnn_snn_apply(
         return (v_enc, l6, l7, li_c, li_b, c_enc, c6, c7), None
 
     carry0 = (
-        jnp.zeros((1,), sd) if fast_encoder else jnp.zeros_like(x),
+        jnp.zeros((1,), sd) if fast_encoder else jnp.zeros(x.shape, sd),
         snnf.zeros_lif_state((r, rep), sd),
         snnf.zeros_lif_state((r, rep), sd),
         snnf.zeros_li_state((r, n_cls), sd),
@@ -329,7 +341,8 @@ def fastrcnn_snn_apply(
     return li_c.v.astype(jnp.float32), li_b.v.astype(jnp.float32), rates
 
 
-def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates, sd):
+def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates,
+                              cd, state_dtype=None):
     """Stacked-T fc6 formulation of the spiking box head (see
     fastrcnn_snn_apply docstring). Spike semantics identical to the
     fast_encoder path; only the GEMM schedule differs."""
@@ -338,34 +351,39 @@ def _fastrcnn_snn_precomputed(x, w6, w7, wc, wb, num_steps, collect_rates, sd):
 
     periods = snnf.encoder_periods(x)  # [R, d_in] uint8
     t_idx = (jnp.arange(num_steps) + 1).astype(jnp.uint8)
-    z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0).astype(sd)
+    z_all = (jnp.mod(t_idx[:, None, None], periods[None]) == 0).astype(cd)
     cur6_all = _linear(z_all.reshape(num_steps * r, d_in), w6)
-    cur6_all = cur6_all.astype(sd).reshape(num_steps, r, rep)
+    cur6_all = cur6_all.astype(cd).reshape(num_steps, r, rep)
 
     enc_counts = (
         z_all.astype(jnp.float32).sum(axis=(0, 2)) if collect_rates else None
     )
     return _fastrcnn_snn_from_cur6(
-        cur6_all, w7, wc, wb, num_steps, collect_rates, sd,
-        enc_counts=enc_counts, d_in=d_in,
+        cur6_all, w7, wc, wb, num_steps, collect_rates, cd,
+        enc_counts=enc_counts, d_in=d_in, state_dtype=state_dtype,
     )
 
 
 def _fastrcnn_snn_from_cur6(cur6_all, w7, wc, wb, num_steps, collect_rates,
-                            sd, enc_counts=None, d_in=None):
+                            cd, enc_counts=None, d_in=None,
+                            state_dtype=None):
     """Sequential LIF/fc7/readout tail over precomputed fc6 input currents
     cur6_all [T, R, rep] (shared by the stacked-T XLA path above and the
     fused Pallas encoder+fc6 kernel, snn/pallas_fc6.py)."""
+    sd = state_dtype or cd
     _, r, rep = cur6_all.shape
     n_cls = wc.shape[1]
     n_reg = wb.shape[1]
 
     def step(carry, cur6):
         l6, l7, li_c, li_b, c6, c7 = carry
-        s6, l6 = snnf.lif_feed_forward_step(cur6, l6)
-        s7, l7 = snnf.lif_feed_forward_step(_linear(s6, w7).astype(sd), l7)
-        _, li_c = snnf.li_feed_forward_step(_linear(s7, wc).astype(sd), li_c)
-        _, li_b = snnf.li_feed_forward_step(_linear(s7, wb).astype(sd), li_b)
+        s6, l6 = snnf.lif_feed_forward_step(cur6.astype(sd), l6)
+        s7, l7 = snnf.lif_feed_forward_step(
+            _linear(s6.astype(cd), w7).astype(sd), l7)
+        _, li_c = snnf.li_feed_forward_step(
+            _linear(s7.astype(cd), wc).astype(sd), li_c)
+        _, li_b = snnf.li_feed_forward_step(
+            _linear(s7.astype(cd), wb).astype(sd), li_b)
         if collect_rates:
             c6 = c6 + s6.astype(jnp.float32).sum(axis=1)
             c7 = c7 + s7.astype(jnp.float32).sum(axis=1)
