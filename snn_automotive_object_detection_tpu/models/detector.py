@@ -87,10 +87,10 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         # XLA scan's real feature gradients.
         and not (training and _trainable_stages(config) > 0)
         and dtype == jnp.bfloat16
-        # The kernel's state_dtype is all-or-nothing (weights + states);
-        # mixed f32-state/bf16-GEMM runs keep the XLA scan until the
-        # kernel grows a mixed mode.
-        and not mixed_state
+        # The inference kernel has a mixed mode (lif_state_dtype) matching
+        # snn_state_dtype; the TRAIN VJP kernel is bf16-only, so mixed
+        # training keeps the XLA scan.
+        and not (mixed_state and training)
         and jax.default_backend() == "tpu"
     )
 
@@ -112,6 +112,7 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
             return rpn_head_snn_pallas_apply(
                 params["rpn_head"], features, config.t_rpn, state_dtype=dtype,
                 collect_rates=collect_rates,
+                lif_state_dtype=sdt if mixed_state else None,
             )
     elif config.rpn_snn:
         def rpn_head_apply(features):

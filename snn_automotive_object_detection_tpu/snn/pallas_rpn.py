@@ -75,15 +75,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _vmem_bytes(th: int, w_pad: int, c: int, sz: int) -> int:
-    """Estimated VMEM use for a row-tile height of ``th`` (see kernel)."""
+def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
+    """Estimated VMEM use for a row-tile height of ``th`` (see kernel).
+    sz = plane/weight itemsize, lsz = LIF state itemsize (f32 in the
+    AMP-style mixed mode)."""
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
     m = th * w_pad
     s_halo = (th + 2) * w_pad
     window = s_halo * c * sz               # DMA'd feature window
     per_cnt_z = 3 * s_alloc * c * sz       # period + countdown + spikes
     period_tmp = 2 * s_halo * c * 4        # xf + p f32 temporaries
-    lif = 2 * m * c * sz                   # v, i
+    lif = 2 * m * c * lsz                  # v, i
     acc = m * c * 4                        # f32 conv accumulator
     ssum = m * c * 4                       # f32 LI-weighted spike accumulator
     out = 2 * m * 128 * sz                 # pipelined output blocks
@@ -93,12 +95,12 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int) -> int:
             + s_tmp + w)
 
 
-def _choose_tile_h(h: int, w_pad: int, c: int, sz: int) -> int:
+def _choose_tile_h(h: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
     """Largest row-tile height that fits the VMEM budget (capped at the
     padded image height so tiny upper FPN levels stay one tile)."""
     cap = _round_up(h, 2)
     for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2):
-        if th <= cap and _vmem_bytes(th, w_pad, c, sz) <= _VMEM_BUDGET:
+        if th <= cap and _vmem_bytes(th, w_pad, c, sz, lsz) <= _VMEM_BUDGET:
             return th
     return 2
 
@@ -137,10 +139,15 @@ def _rpn_level_kernel(
     dt = snnf.DT
     tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
     tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
-    sd = v_ref.dtype
-    # Thresholds as the XLA path sees them: rounded to the state dtype
-    # first (the f32 compares below then match the bf16 arithmetic).
-    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(sd)))
+    # Plane/matmul dtype (encoder countdown, spikes, weights) vs LIF state
+    # dtype: they differ in the AMP-style mixed mode (lif_state_dtype=f32,
+    # VERDICT r3 #1) where only the carried v/i live in f32 — in VMEM that
+    # costs capacity, not the HBM bandwidth it costs the XLA scan.
+    sd = z_ref.dtype
+    ld = v_ref.dtype
+    # Thresholds as the XLA path sees them: rounded to the LIF state dtype
+    # first (the f32 compares below then match the state arithmetic).
+    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(ld)))
     enc_vth = float(snnf.ENCODER_PARAMS.v_th)    # 0.25
 
     r = pl.program_id(0)
@@ -201,12 +208,14 @@ def _rpn_level_kernel(
             else:
                 acc_ref[:] = acc_ref[:] + part
 
-        # LIF step (functional.py lif_feed_forward_step ordering).
+        # LIF step (functional.py lif_feed_forward_step ordering). The
+        # conv current is rounded to the plane dtype first (the XLA path's
+        # bf16 conv output), then accumulated in the LIF state dtype.
         v_dec = v_ref[:] + tau_mem * (i_ref[:] - v_ref[:])
         i_dec = i_ref[:] - tau_syn * i_ref[:]
         s = (v_dec.astype(jnp.float32) - v_th > 0)
         v_ref[:] = jnp.where(s, 0.0, v_dec)
-        i_ref[:] = i_dec + acc_ref[:].astype(sd)
+        i_ref[:] = i_dec + acc_ref[:].astype(sd).astype(ld)
 
         # The LI readout is LINEAR in its per-step input currents, and the
         # 1x1 conv has no state — so v_T = conv1x1(sum_t a_t * s_t) with
@@ -264,6 +273,7 @@ def _run_level(
     state_dtype,
     interpret: bool,
     collect_rates: bool = False,
+    lif_dtype=None,
 ):
     """One FPN level through the fused kernel.
 
@@ -271,11 +281,17 @@ def _run_level(
     Returns (objectness [N, H, W, A] f32, bbox [N, H, W, 4A] f32) plus,
     when collect_rates, (encoder_rate [N], shared_rate [N]) — mean
     spikes/neuron/step in the reference convention (rpn.py:162-174).
+
+    lif_dtype: dtype of the carried LIF v/i (None -> state_dtype). f32
+    with bf16 state_dtype is the AMP-style mixed mode: matmul operands
+    stay bf16, only the threshold-adjacent LIF state is exact.
     """
     n, h, w, c = feat.shape
+    lif_dtype = lif_dtype or state_dtype
     sz = jnp.dtype(state_dtype).itemsize
+    lsz = jnp.dtype(lif_dtype).itemsize
     w_pad = _round_up(w + 2, 16)
-    th = _choose_tile_h(h, w_pad, c, sz)
+    th = _choose_tile_h(h, w_pad, c, sz, lsz)
     n_th = -(-h // th)
     m_rows = th * w_pad
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
@@ -325,8 +341,8 @@ def _run_level(
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
-            pltpu.VMEM((m_rows, c), state_dtype),
-            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((m_rows, c), lif_dtype),
+            pltpu.VMEM((m_rows, c), lif_dtype),
             pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -711,8 +727,15 @@ def rpn_head_snn_pallas_apply(
     state_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
     collect_rates: bool = False,
+    lif_state_dtype=None,
 ):
     """Drop-in inference replacement for heads.rpn_head_snn_apply.
+
+    lif_state_dtype=jnp.float32 with bf16 state_dtype is the AMP-style
+    mixed mode (VERDICT r3 #1): only the carried LIF v/i run in f32 (the
+    encoder is closed-form-exact and the LI readout already accumulates in
+    f32, so this makes the whole kernel state-exact while every matmul
+    operand stays bf16).
 
     Same outputs (objectness / bbox lists, rates). Spike-rate accumulators
     run IN-KERNEL when collect_rates (two f32 reductions per step; the
@@ -744,7 +767,8 @@ def rpn_head_snn_pallas_apply(
     enc_rates, shared_rates = [], []
     for feat in features:
         res = _run_level(feat, w9, wout, num_steps, a, state_dtype,
-                         interpret, collect_rates=collect_rates)
+                         interpret, collect_rates=collect_rates,
+                         lif_dtype=lif_state_dtype)
         logits.append(res[0])
         bbox_reg.append(res[1])
         if collect_rates:

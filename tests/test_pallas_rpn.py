@@ -194,3 +194,41 @@ def test_pallas_rpn_in_kernel_rates_match_xla(rng):
     # outputs unchanged by the rates variant
     np.testing.assert_allclose(np.asarray(o_k[0]), np.asarray(o_ref[0]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_rpn_mixed_lif_state(rng):
+    """AMP-style mixed mode (lif_state_dtype=f32, state_dtype=bf16): the
+    kernel must track the XLA mixed path (compute bf16 + state f32) at
+    spike scale, and must sit CLOSER to the full-f32 reference than the
+    all-bf16 kernel does."""
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(5), 256, 3)
+    feats = _feats(rng, [(8, 16)])
+    t = 8
+
+    o_mix, b_mix, _ = rpn_head_snn_pallas_apply(
+        params, feats, t, state_dtype=jnp.bfloat16,
+        lif_state_dtype=jnp.float32, interpret=True
+    )
+    o_xla, _, _ = heads.rpn_head_snn_apply(
+        params, feats, t, compute_dtype=jnp.bfloat16,
+        state_dtype=jnp.float32, fast_encoder=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_mix[0]), np.asarray(o_xla[0]), atol=0.05
+    )
+
+    o_f32, _, _ = heads.rpn_head_snn_apply(
+        params, feats, t, compute_dtype=jnp.float32, fast_encoder=True
+    )
+    o_bf, _, _ = rpn_head_snn_pallas_apply(
+        params, feats, t, state_dtype=jnp.bfloat16, interpret=True
+    )
+    err_mix = float(jnp.abs(o_mix[0] - o_f32[0]).mean())
+    err_bf = float(jnp.abs(o_bf[0] - o_f32[0]).mean())
+    assert err_mix < err_bf
+    # default (lif_state_dtype=None) stays bit-identical to the bf16 kernel
+    o_def, b_def, _ = rpn_head_snn_pallas_apply(
+        params, feats, t, state_dtype=jnp.bfloat16,
+        lif_state_dtype=jnp.bfloat16, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o_def[0]), np.asarray(o_bf[0]))
