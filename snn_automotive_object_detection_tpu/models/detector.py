@@ -231,6 +231,17 @@ def detector_apply(
     # Kernel layout constraints (ops/pallas_stem.py: hs % 4, ws % 128)
     use_pallas_stem = use_pallas_stem and hb % 8 == 0 and wb % 256 == 0
 
+    # Fused Pallas FPN (ops/pallas_fpn.py): same TPU + bf16 + inference
+    # gate as the other kernels; ResNet only (the mobilenet FPN sits on 2
+    # stages with its own apply).
+    use_pallas_fpn = (
+        getattr(config, "fpn_pallas", True)
+        and is_resnet
+        and not training
+        and config.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
+
     if use_pallas_stem:
         from snn_automotive_object_detection_tpu.models.resnet_fpn import (
             resnet50_fpn_apply_from_p1,
@@ -245,11 +256,13 @@ def detector_apply(
             config.image_mean, config.image_std,
         )
         feats = resnet50_fpn_apply_from_p1(params["backbone"], p1,
-                                           trainable_layers=tbl)
+                                           trainable_layers=tbl,
+                                           fpn_pallas=use_pallas_fpn)
     elif is_resnet:
         x = normalize_images(images, config.image_mean, config.image_std)
         feats = resnet50_fpn_apply(params["backbone"], x, config.compute_dtype,
-                                   trainable_layers=tbl)
+                                   trainable_layers=tbl,
+                                   fpn_pallas=use_pallas_fpn)
     else:
         from snn_automotive_object_detection_tpu.models.mobilenet_fpn import (
             mobilenet_v3_fpn_apply,

@@ -68,6 +68,10 @@ class DetectorConfig:
     # membrane's per-step HBM round trip (the box-head scan's dominant
     # non-GEMM cost).
     det_fc6_pallas: bool = True
+    # Fused Pallas FPN (ops/pallas_fpn.py): lateral + top-down merge +
+    # outer 3x3 per level in one kernel — TPU + bf16 inference, ResNet
+    # only.
+    fpn_pallas: bool = True
     # EXTENSION (default False = reference parity): let gradients reach the
     # backbone at training time. The reference always runs the backbone
     # under no_grad (generalized_rcnn.py:93-94) because it starts from
