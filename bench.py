@@ -44,6 +44,16 @@ def main():
         backbone="mobilenet_v3_large_fpn" if model == "mobilenet_snn"
         else "resnet50_fpn",
     )
+    # Ad-hoc A/B knobs: BENCH_DISABLE=fpn_pallas,rpn_pallas,... flips any
+    # boolean config field off; BENCH_STATE32=1 turns on the AMP-style f32
+    # neuron-state mode (snn_state_dtype).
+    import dataclasses
+
+    for name in filter(None, os.environ.get("BENCH_DISABLE", "").split(",")):
+        config = dataclasses.replace(config, **{name.strip(): False})
+    if os.environ.get("BENCH_STATE32"):
+        config = dataclasses.replace(config, snn_state_dtype=jnp.float32)
+
     params = init_params(config, jax.random.PRNGKey(0))
     # Realistic score distributions: BENCH_WEIGHTS=<orbax dir> loads trained
     # weights (e.g. from tools/make_bench_weights.py) so the NMS/postprocess
