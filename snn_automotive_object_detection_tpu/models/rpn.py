@@ -86,24 +86,21 @@ def select_pre_nms(
     objectness: [N, K]; counts: anchors per level. Selection depends on
     objectness only, so box deltas are gathered and decoded AFTER this
     (torchvision decodes everything first — 24x wasted decode work).
-    Returns (obj [N, S], idx [N, S] global anchor indices, levels [S]) with
-    S = sum_l min(top_n, K_l).
+    Returns (obj [N, S], idx [N, S] global anchor indices) with
+    S = sum_l min(top_n, K_l). (Per-level identity is recovered downstream
+    from the static level_sizes split — torchvision's levels tensor,
+    rpn.py:478-480, is redundant under static shapes.)
     """
-    obj_sel, idx_sel, levels = [], [], []
+    obj_sel, idx_sel = [], []
     offset = 0
-    for lvl, k in enumerate(counts):
+    for k in counts:
         take = min(top_n, k)
         o = objectness[:, offset:offset + k]
         _, idx = jax.lax.top_k(o, take)  # [N, take]
         obj_sel.append(jnp.take_along_axis(o, idx, axis=1))
         idx_sel.append(idx + offset)
-        levels.append(jnp.full((take,), lvl, jnp.int32))
         offset += k
-    return (
-        jnp.concatenate(obj_sel, 1),
-        jnp.concatenate(idx_sel, 1),
-        jnp.concatenate(levels, 0),
-    )
+    return jnp.concatenate(obj_sel, 1), jnp.concatenate(idx_sel, 1)
 
 
 def filter_proposals(
@@ -263,7 +260,7 @@ def rpn_forward(
     assert counts == list(level_counts), (counts, level_counts)
 
     obj_sg = jax.lax.stop_gradient(objectness)
-    obj_sel, idx_sel, _ = select_pre_nms(
+    obj_sel, idx_sel = select_pre_nms(
         obj_sg, counts, cfg.pre_nms_top_n(training)
     )
     takes = [min(cfg.pre_nms_top_n(training), k) for k in counts]
