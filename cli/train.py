@@ -110,6 +110,12 @@ def get_args_parser(add_help: bool = True):
                             "mobilenet_v3_large_320_fpn"])
     p.add_argument("--fp32", action="store_true",
                    help="run compute in float32 instead of bfloat16")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 convs/GEMMs + float32 SNN neuron states — the "
+                        "reference's (default-on) torch.cuda.amp numerics "
+                        "(train.py:79-80: autocast covers convs, norse "
+                        "state stays fp32). Without it the default carries "
+                        "states in bf16 too; --fp32 overrides both.")
     p.add_argument("--profile", default="", type=str,
                    help="write a jax.profiler trace to this directory "
                         "(covers the first evaluation / training steps)")
@@ -189,6 +195,8 @@ def build_everything(args):
         only_one_bbox=args.only_one_bbox,
         seed=args.seed,
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        snn_state_dtype=(jnp.float32 if getattr(args, "amp", False)
+                         and not args.fp32 else None),
         model_yaml=model_yaml,
         backbone=args.backbone,
     )

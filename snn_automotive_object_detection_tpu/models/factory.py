@@ -158,6 +158,7 @@ def create_model(
     compute_dtype=jnp.bfloat16,
     model_yaml: Optional[Dict[str, Any]] = None,
     backbone: str = "resnet50_fpn",
+    snn_state_dtype=None,
 ) -> Tuple[DetectorConfig, Dict[str, Any]]:
     """Build (config, params) for a dataset, mirroring model.py:7-189.
 
@@ -229,6 +230,7 @@ def create_model(
         rpn=RPNConfig(**rpn_kw),
         roi=RoIConfig(**roi_kw),
         compute_dtype=compute_dtype,
+        snn_state_dtype=snn_state_dtype,
         **tr_kw,
     )
 
