@@ -47,6 +47,7 @@ itself a Pallas kernel (see the "Training path" section below).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -66,6 +67,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # The threshold-count period needs one compare per step; cap where that
 # stays trivially cheap (the reference sweeps T_rpn only up to 12).
 _MAX_T = 32
+# Software-pipelined step loop (A/B knob; see _run_level's `pipelined`).
+_PIPELINE_DEFAULT = os.environ.get("RPN_PIPELINE", "0") == "1"
 
 # (dy, dx) tap order must match the [3, 3, C, C] HWIO weight layout.
 _TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -75,7 +78,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
+def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int,
+                pipelined: bool = False) -> int:
     """Estimated VMEM use for a row-tile height of ``th`` (see kernel).
     sz = plane/weight itemsize, lsz = LIF state itemsize (f32 in the
     AMP-style mixed mode)."""
@@ -87,6 +91,8 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
     period_tmp = 2 * s_halo * c * 4        # xf + p f32 temporaries
     lif = 2 * m * c * lsz                  # v, i
     acc = m * c * 4                        # f32 conv accumulator
+    if pipelined:
+        acc *= 2                           # double-buffered accumulator
     ssum = m * c * 4                       # f32 LI-weighted spike accumulator
     out = 2 * m * 128 * sz                 # pipelined output blocks
     s_tmp = m * c * 4                      # f32 spike temp per step
@@ -95,12 +101,14 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
             + s_tmp + w)
 
 
-def _choose_tile_h(h: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
+def _choose_tile_h(h: int, w_pad: int, c: int, sz: int, lsz: int,
+                   pipelined: bool = False) -> int:
     """Largest row-tile height that fits the VMEM budget (capped at the
     padded image height so tiny upper FPN levels stay one tile)."""
     cap = _round_up(h, 2)
     for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2):
-        if th <= cap and _vmem_bytes(th, w_pad, c, sz, lsz) <= _VMEM_BUDGET:
+        if th <= cap and _vmem_bytes(th, w_pad, c, sz, lsz,
+                                     pipelined) <= _VMEM_BUDGET:
             return th
     return 2
 
@@ -121,6 +129,7 @@ def _rpn_level_kernel(
     h_img: int = 0,
     w_img: int = 0,
     collect_rates: bool = False,
+    pipelined: bool = False,
 ):
     # Scratches (after the optional rates output):
     #   xwin_ref  [th+2, W_pad, C] window scratch (DMA target)
@@ -130,12 +139,17 @@ def _rpn_level_kernel(
     #   v_ref     [M, C]       LIF membrane
     #   i_ref     [M, C]       LIF synaptic current
     #   acc_ref   [M, C] f32   conv accumulator
+    #   [acc2_ref [M, C] f32   second accumulator when pipelined]
     #   ssum_ref  [M, C] f32   LI-weighted spike accumulator
     #   dma_sem
     if collect_rates:
         rate_ref, rest = rest[0], rest[1:]
-    (xwin_ref, per_ref, cnt_ref, z_ref, v_ref, i_ref, acc_ref, ssum_ref,
-     dma_sem) = rest
+    if pipelined:
+        (xwin_ref, per_ref, cnt_ref, z_ref, v_ref, i_ref, acc_ref, acc2_ref,
+         ssum_ref, dma_sem) = rest
+    else:
+        (xwin_ref, per_ref, cnt_ref, z_ref, v_ref, i_ref, acc_ref, ssum_ref,
+         dma_sem) = rest
     dt = snnf.DT
     tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
     tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
@@ -185,8 +199,7 @@ def _rpn_level_kernel(
         valid_mask = ((rloc + row0 < h_img) & (cloc >= 1)
                       & (cloc <= w_img)).astype(jnp.float32)
 
-    def step(t, carry):
-        zc, sc = carry
+    def encoder_step(zc):
         # Encoder: countdown-to-spike. The compare runs in f32 — v5e Mosaic
         # lacks bf16 vector compares, and the bf16->f32 extension is exact.
         # (A compare-free max/fma formulation measured ~70% slower.)
@@ -194,7 +207,14 @@ def _rpn_level_kernel(
         spike = c.astype(jnp.float32) < 0.5
         cnt_ref[:] = jnp.where(spike, per_ref[:], c)
         z_ref[:] = spike.astype(sd)
+        if collect_rates:
+            # Interior z slice = the (dy=0, dx=0) tap window; zero-padded
+            # features never spike, so the z sum is exact unmasked.
+            zin = z_ref[_BASE + w_pad:_BASE + w_pad + m_rows, :]
+            zc = zc + jnp.sum(zin.astype(jnp.float32))
+        return zc
 
+    def conv_taps(acc):
         # 3x3 conv as 9 shifted matmuls on the row-flattened layout.
         for k, (dy, dx) in enumerate(_TAPS):
             start = _BASE + (1 + dy) * w_pad + dx
@@ -204,10 +224,11 @@ def _rpn_level_kernel(
                 preferred_element_type=jnp.float32,
             )
             if k == 0:
-                acc_ref[:] = part
+                acc[:] = part
             else:
-                acc_ref[:] = acc_ref[:] + part
+                acc[:] = acc[:] + part
 
+    def lif_step(t, acc, sc):
         # LIF step (functional.py lif_feed_forward_step ordering). The
         # conv current is rounded to the plane dtype first (the XLA path's
         # bf16 conv output), then accumulated in the LIF state dtype.
@@ -215,7 +236,7 @@ def _rpn_level_kernel(
         i_dec = i_ref[:] - tau_syn * i_ref[:]
         s = (v_dec.astype(jnp.float32) - v_th > 0)
         v_ref[:] = jnp.where(s, 0.0, v_dec)
-        i_ref[:] = i_dec + acc_ref[:].astype(sd).astype(ld)
+        i_ref[:] = i_dec + acc[:].astype(sd).astype(ld)
 
         # The LI readout is LINEAR in its per-step input currents, and the
         # 1x1 conv has no state — so v_T = conv1x1(sum_t a_t * s_t) with
@@ -225,19 +246,38 @@ def _rpn_level_kernel(
         # instead of a matmul + 6 LI passes per step.
         ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
         if collect_rates:
-            # Interior z slice = the (dy=0, dx=0) tap window; zero-padded
-            # features never spike, so the z sum is exact unmasked. The
-            # LIF spikes s are NOT: padding columns receive real conv
-            # input through the +-1 taps (harmless for the sliced output,
-            # garbage for a raw count) — mask to the valid (row, col)
-            # region (SURVEY §2.2 in-kernel spike-rate accumulators).
-            zin = z_ref[_BASE + w_pad:_BASE + w_pad + m_rows, :]
-            zc = zc + jnp.sum(zin.astype(jnp.float32))
+            # The LIF spikes s need masking: padding columns receive real
+            # conv input through the +-1 taps (harmless for the sliced
+            # output, garbage for a raw count) — mask to the valid
+            # (row, col) region (SURVEY §2.2 in-kernel accumulators).
             sc = sc + jnp.sum(s.astype(jnp.float32).reshape(
                 tile_h, w_pad, -1) * valid_mask)
-        return (zc, sc)
+        return sc
 
-    zc, sc = jax.lax.fori_loop(0, num_steps, step, (0.0, 0.0))
+    if pipelined:
+        # Software pipeline (statically unrolled): step t+1's encoder and
+        # tap matmuls are issued BEFORE step t's LIF chain. The taps write
+        # the other accumulator of a double-buffered pair, so the serial
+        # LIF/ssum VPU ops carry no data dependency on the in-flight
+        # matmuls and the in-order core can overlap them with the MXU.
+        zc, sc = 0.0, 0.0
+        accs = (acc_ref, acc2_ref)
+        zc = encoder_step(zc)
+        conv_taps(accs[0])
+        for t in range(num_steps):
+            if t + 1 < num_steps:
+                zc = encoder_step(zc)
+                conv_taps(accs[(t + 1) % 2])
+            sc = lif_step(t, accs[t % 2], sc)
+    else:
+        def step(t, carry):
+            zc, sc = carry
+            zc = encoder_step(zc)
+            conv_taps(acc_ref)
+            sc = lif_step(t, acc_ref, sc)
+            return (zc, sc)
+
+        zc, sc = jax.lax.fori_loop(0, num_steps, step, (0.0, 0.0))
     out_ref[0] = jnp.dot(
         ssum_ref[:], wout_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32,
@@ -274,6 +314,7 @@ def _run_level(
     interpret: bool,
     collect_rates: bool = False,
     lif_dtype=None,
+    pipelined: Optional[bool] = None,
 ):
     """One FPN level through the fused kernel.
 
@@ -285,13 +326,19 @@ def _run_level(
     lif_dtype: dtype of the carried LIF v/i (None -> state_dtype). f32
     with bf16 state_dtype is the AMP-style mixed mode: matmul operands
     stay bf16, only the threshold-adjacent LIF state is exact.
+
+    pipelined: software-pipeline the T-step loop (statically unrolled,
+    double-buffered conv accumulator; see _rpn_level_kernel). Numerically
+    identical — scheduling only. None -> _PIPELINE_DEFAULT.
     """
     n, h, w, c = feat.shape
     lif_dtype = lif_dtype or state_dtype
+    if pipelined is None:
+        pipelined = _PIPELINE_DEFAULT
     sz = jnp.dtype(state_dtype).itemsize
     lsz = jnp.dtype(lif_dtype).itemsize
     w_pad = _round_up(w + 2, 16)
-    th = _choose_tile_h(h, w_pad, c, sz, lsz)
+    th = _choose_tile_h(h, w_pad, c, sz, lsz, pipelined)
     n_th = -(-h // th)
     m_rows = th * w_pad
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
@@ -314,7 +361,7 @@ def _run_level(
     kernel = functools.partial(
         _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
         m_rows=m_rows, w_pad=w_pad, h_img=h, w_img=w,
-        collect_rates=collect_rates,
+        collect_rates=collect_rates, pipelined=pipelined,
     )
     out_specs = [pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -343,10 +390,8 @@ def _run_level(
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((m_rows, c), lif_dtype),
             pltpu.VMEM((m_rows, c), lif_dtype),
-            pltpu.VMEM((m_rows, c), jnp.float32),
-            pltpu.VMEM((m_rows, c), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + [pltpu.VMEM((m_rows, c), jnp.float32)] * (3 if pipelined else 2)
+        + [pltpu.SemaphoreType.DMA(())],
     )
     outs = pl.pallas_call(
         kernel,

@@ -232,3 +232,36 @@ def test_pallas_rpn_mixed_lif_state(rng):
         lif_state_dtype=jnp.bfloat16, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(o_def[0]), np.asarray(o_bf[0]))
+
+
+def test_pallas_rpn_pipelined_bit_identical(rng, monkeypatch):
+    """The software-pipelined step loop (RPN_PIPELINE=1 / pipelined=True)
+    is a scheduling-only change: outputs and spike-rate accumulators must
+    be bit-identical to the serial fori_loop kernel in every dtype mode."""
+    from snn_automotive_object_detection_tpu.snn import pallas_rpn as pr
+
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(7), 256, 3)
+    feats = _feats(rng, [(10, 18), (5, 9)])
+    for state_dtype, lif_dtype in [
+        (jnp.bfloat16, None),
+        (jnp.bfloat16, jnp.float32),
+        (jnp.float32, None),
+    ]:
+        o_s, b_s, r_s = rpn_head_snn_pallas_apply(
+            params, feats, 8, state_dtype=state_dtype, interpret=True,
+            collect_rates=True, lif_state_dtype=lif_dtype,
+        )
+        monkeypatch.setattr(pr, "_PIPELINE_DEFAULT", True)
+        o_p, b_p, r_p = rpn_head_snn_pallas_apply(
+            params, feats, 8, state_dtype=state_dtype, interpret=True,
+            collect_rates=True, lif_state_dtype=lif_dtype,
+        )
+        monkeypatch.setattr(pr, "_PIPELINE_DEFAULT", False)
+        for lvl in range(len(feats)):
+            np.testing.assert_array_equal(np.asarray(o_s[lvl], np.float32),
+                                          np.asarray(o_p[lvl], np.float32))
+            np.testing.assert_array_equal(np.asarray(b_s[lvl], np.float32),
+                                          np.asarray(b_p[lvl], np.float32))
+        for key in ("encoder", "shared"):
+            np.testing.assert_allclose(np.asarray(r_s[key]),
+                                       np.asarray(r_p[key]), rtol=1e-6)

@@ -82,7 +82,7 @@ def run_variant(name: str, base, params, n_images: int, batch: int):
         # Backbone-only dtype override: run the trunk in bb_dtype and hand
         # the features to the heads in the config compute dtype. Kernels are
         # off for these variants, so no kernel dtype assumptions break.
-        def patched(bparams, x, dtype, trainable_layers=0):
+        def patched(bparams, x, dtype, trainable_layers=0, fpn_pallas=False):
             feats = orig_resnet(bparams, x.astype(bb_dtype), bb_dtype,
                                 trainable_layers=trainable_layers)
             return [f.astype(config.compute_dtype) for f in feats]
