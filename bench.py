@@ -45,14 +45,16 @@ def main():
         else "resnet50_fpn",
     )
     # Ad-hoc A/B knobs: BENCH_DISABLE=fpn_pallas,rpn_pallas,... flips any
-    # boolean config field off; BENCH_STATE32=1 turns on the AMP-style f32
-    # neuron-state mode (snn_state_dtype).
+    # boolean config field off; BENCH_STATE32=0 drops the (default) AMP-style
+    # f32 neuron-state mode back to pure-bf16 states, =1 forces it on.
     import dataclasses
 
     for name in filter(None, os.environ.get("BENCH_DISABLE", "").split(",")):
         config = dataclasses.replace(config, **{name.strip(): False})
-    if os.environ.get("BENCH_STATE32"):
-        config = dataclasses.replace(config, snn_state_dtype=jnp.float32)
+    s32 = os.environ.get("BENCH_STATE32")
+    if s32 is not None:
+        config = dataclasses.replace(
+            config, snn_state_dtype=jnp.float32 if s32 == "1" else None)
 
     params = init_params(config, jax.random.PRNGKey(0))
     # Realistic score distributions: BENCH_WEIGHTS=<orbax dir> loads trained

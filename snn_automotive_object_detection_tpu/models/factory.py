@@ -48,10 +48,14 @@ class DetectorConfig:
     compute_dtype: Any = jnp.bfloat16
     # Dtype carrying the SNN neuron states (encoder/LIF membranes +
     # currents, LI readout) when it should differ from compute_dtype:
-    # None -> compute_dtype. jnp.float32 with bf16 compute reproduces the
-    # reference's AMP numerics (train.py:79 autocasts convs/GEMMs while
-    # norse keeps its state tensors fp32) on the XLA head paths.
-    snn_state_dtype: Any = None
+    # None -> compute_dtype. The f32 default with bf16 compute reproduces
+    # the reference's (default-on) AMP numerics (train.py:79 autocasts
+    # convs/GEMMs while norse keeps its state tensors fp32) — and measured
+    # FASTER than all-bf16 at inference (55.1 vs 53.9 img/s batch 2,
+    # round 4): v5e has no bf16 vector compares, so bf16 states paid
+    # per-step f32 casts in the LIF chain anyway. Pure-bf16 states remain
+    # reachable via snn_state_dtype=None (bench BENCH_STATE32=0).
+    snn_state_dtype: Any = jnp.float32
     fpn_channels: int = 256
     representation_size: int = 1024
     # Fused Pallas RPN head (snn/pallas_rpn.py) — TPU + bf16 only; eval and

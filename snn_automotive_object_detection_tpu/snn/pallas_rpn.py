@@ -67,8 +67,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # The threshold-count period needs one compare per step; cap where that
 # stays trivially cheap (the reference sweeps T_rpn only up to 12).
 _MAX_T = 32
-# Software-pipelined step loop (A/B knob; see _run_level's `pipelined`).
-_PIPELINE_DEFAULT = os.environ.get("RPN_PIPELINE", "0") == "1"
+# Software-pipelined step loop (see _run_level's `pipelined`). Default ON:
+# measured e2e batch-2 53.9 vs 53.0 img/s (round 4, same session, fpn_pallas
+# on) and 53.7 vs 51.8 with fpn_pallas off — the double-buffered accumulator
+# lets Mosaic overlap step t+1's tap matmuls with step t's LIF VPU chain.
+# RPN_PIPELINE=0 restores the serial loop for A/Bs.
+_PIPELINE_DEFAULT = os.environ.get("RPN_PIPELINE", "1") == "1"
 
 # (dy, dx) tap order must match the [3, 3, C, C] HWIO weight layout.
 _TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]

@@ -43,14 +43,18 @@ def make_variant_config(base, name: str):
 
     kernels_off = dict(rpn_pallas=False, roi_pallas=False,
                        stem_pallas=False, det_fc6_pallas=False)
+    # snn_state_dtype is pinned in EVERY variant: the factory default is
+    # now f32 (the production AMP mode), so the pure-bf16 rows must opt out
+    # explicitly or they would silently measure the state32 numerics.
     if name == "fp32":
         return dataclasses.replace(base, compute_dtype=jnp.float32,
-                                   **kernels_off), None
+                                   snn_state_dtype=None, **kernels_off), None
     if name == "bf16":
-        return dataclasses.replace(base, compute_dtype=jnp.bfloat16), None
+        return dataclasses.replace(base, compute_dtype=jnp.bfloat16,
+                                   snn_state_dtype=None), None
     if name == "bf16_xla":
         return dataclasses.replace(base, compute_dtype=jnp.bfloat16,
-                                   **kernels_off), None
+                                   snn_state_dtype=None, **kernels_off), None
     if name == "state32_xla":
         return dataclasses.replace(base, compute_dtype=jnp.bfloat16,
                                    snn_state_dtype=jnp.float32,
@@ -62,10 +66,12 @@ def make_variant_config(base, name: str):
                                    snn_state_dtype=jnp.float32), None
     if name == "bb32_heads_bf16":
         return (dataclasses.replace(base, compute_dtype=jnp.bfloat16,
-                                    **kernels_off), jnp.float32)
+                                    snn_state_dtype=None, **kernels_off),
+                jnp.float32)
     if name == "bb16_heads_f32":
         return (dataclasses.replace(base, compute_dtype=jnp.float32,
-                                    **kernels_off), jnp.bfloat16)
+                                    snn_state_dtype=None, **kernels_off),
+                jnp.bfloat16)
     raise ValueError(f"unknown variant {name!r}")
 
 

@@ -153,7 +153,12 @@ def main():
     )
     from tools.synth_shapes import synth_batch_device
 
-    config = DetectorConfig(num_classes=9, t_rpn=8, t_det=12)
+    # snn_state_dtype=None (pure-bf16 states) rather than the f32 AMP
+    # default: the fast Pallas-VJP training path is bf16-state only (mixed
+    # state falls back to the ~1.6x-slower XLA train scan), and round-3/4
+    # checkpoints were produced this way — keep the operating point stable.
+    config = DetectorConfig(num_classes=9, t_rpn=8, t_det=12,
+                            snn_state_dtype=None)
     params = init_params(config, jax.random.PRNGKey(args.seed))
     if args.load:
         params = load_checkpoint(os.path.abspath(args.load))["params"]
