@@ -53,6 +53,10 @@ def main():
         config = dataclasses.replace(config, **{name.strip(): False})
     s32 = os.environ.get("BENCH_STATE32")
     if s32 is not None:
+        # Strict spelling: stale scripts using truthy values ("true", "yes")
+        # must not silently flip numerics (ADVICE r4).
+        if s32 not in ("0", "1"):
+            raise SystemExit(f"BENCH_STATE32 must be '0' or '1', got {s32!r}")
         config = dataclasses.replace(
             config, snn_state_dtype=jnp.float32 if s32 == "1" else None)
 

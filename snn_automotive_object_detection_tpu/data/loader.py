@@ -206,9 +206,19 @@ class DetectionLoader:
         )
         hb, wb = bucket
         nh, nw = new_size
-        assert nh <= hb and nw <= wb, (
-            f"resized image {new_size} exceeds bucket {bucket}"
-        )
+        if nh > hb or nw > wb:
+            # Reachable when a portrait image arrives from a dataset that
+            # exposes no cheap size metadata: _portrait_flags() returned
+            # None, so every image was planned into the landscape bucket.
+            raise ValueError(
+                f"resized image {new_size} exceeds bucket {bucket}: the "
+                f"dataset ({type(self.dataset).__name__}) does not "
+                "implement get_height_and_width(i) -> (h, w), so the "
+                "loader cannot route portrait images into the transposed "
+                "orientation bucket. Implement that method (the same "
+                "per-image protocol torchvision's GroupedBatchSampler "
+                "uses, reference train.py:103) to enable portrait batches."
+            )
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:nh, :nw] = img
         return padded, target, new_size, orig

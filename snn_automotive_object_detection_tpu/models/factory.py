@@ -150,6 +150,13 @@ class DetectorConfig:
         return (32, 32, 64)
 
 
+# Sentinel: create_model's snn_state_dtype default must track the
+# DetectorConfig production default (f32 AMP states) instead of silently
+# reverting callers to pure-bf16 states (ADVICE r4). Passing None still
+# means "states in compute_dtype" explicitly.
+_STATE_DTYPE_UNSET = object()
+
+
 def create_model(
     dataset_name: str,
     num_classes: int,
@@ -162,7 +169,7 @@ def create_model(
     compute_dtype=jnp.bfloat16,
     model_yaml: Optional[Dict[str, Any]] = None,
     backbone: str = "resnet50_fpn",
-    snn_state_dtype=None,
+    snn_state_dtype=_STATE_DTYPE_UNSET,
 ) -> Tuple[DetectorConfig, Dict[str, Any]]:
     """Build (config, params) for a dataset, mirroring model.py:7-189.
 
@@ -234,7 +241,11 @@ def create_model(
         rpn=RPNConfig(**rpn_kw),
         roi=RoIConfig(**roi_kw),
         compute_dtype=compute_dtype,
-        snn_state_dtype=snn_state_dtype,
+        **(
+            {}
+            if snn_state_dtype is _STATE_DTYPE_UNSET
+            else {"snn_state_dtype": snn_state_dtype}
+        ),
         **tr_kw,
     )
 

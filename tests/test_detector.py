@@ -135,3 +135,26 @@ def test_spike_rate_collection(rng):
     assert (r >= 0).all() and (r <= 1).all()
     det_rates = det["det_rates"]
     assert det_rates["fc6"].shape == (2 * cfg.rpn.post_nms_top_n_test,)
+
+
+def test_create_model_default_matches_production_numerics():
+    """create_model without an explicit snn_state_dtype must inherit the
+    DetectorConfig production default (f32 AMP states), not silently
+    revert to pure-bf16 states (ADVICE r4 / VERDICT r4 #6)."""
+    from snn_automotive_object_detection_tpu.models.factory import (
+        create_model,
+    )
+
+    config, _ = create_model(
+        "cityscapes", num_classes=9, rpn_snn=True, detector_snn=True,
+        num_steps_rpn=2, num_steps_detector=2, seed=0,
+    )
+    assert config.snn_state_dtype == DetectorConfig(
+        num_classes=9).snn_state_dtype == jnp.float32
+    # Explicit None still means "states in compute_dtype" (the bf16 mode).
+    config_none, _ = create_model(
+        "cityscapes", num_classes=9, rpn_snn=True, detector_snn=True,
+        num_steps_rpn=2, num_steps_detector=2, seed=0,
+        snn_state_dtype=None,
+    )
+    assert config_none.snn_state_dtype is None

@@ -154,3 +154,28 @@ def test_pascal_layout_cli_eval(tmp_path):
     stats = cli_train.main(args)
     assert stats.shape == (12,)
     assert np.isfinite(stats).all()
+
+
+def test_no_metadata_portrait_names_protocol_fix():
+    """A dataset WITHOUT get_height_and_width that yields a portrait image
+    must fail with an error naming the protocol method, not a bare assert
+    (VERDICT r4 #8)."""
+
+    class NoMetaDataset:
+        """One portrait image, no size-metadata protocol."""
+
+        inner = FakeDataset([(200, 100)])
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return self.inner[i]
+
+    ds = NoMetaDataset()
+    assert not hasattr(ds, "get_height_and_width")
+    loader = DetectionLoader(ds, batch_size=1, bucket=(64, 128),
+                             min_size=64, max_size=128, num_workers=1)
+    with pytest.raises(ValueError, match="get_height_and_width"):
+        for _ in loader:
+            pass

@@ -247,6 +247,10 @@ def test_pallas_rpn_pipelined_bit_identical(rng, monkeypatch):
         (jnp.bfloat16, jnp.float32),
         (jnp.float32, None),
     ]:
+        # Force the serial loop for the baseline: the import-time default
+        # is pipelined=True now, so without this the first combo would
+        # compare pipelined-vs-pipelined (ADVICE r4).
+        monkeypatch.setattr(pr, "_PIPELINE_DEFAULT", False)
         o_s, b_s, r_s = rpn_head_snn_pallas_apply(
             params, feats, 8, state_dtype=state_dtype, interpret=True,
             collect_rates=True, lif_state_dtype=lif_dtype,
