@@ -64,6 +64,13 @@ def get_args_parser(add_help: bool = True):
     p.add_argument("--resume", default="", type=str, help="orbax checkpoint dir")
     p.add_argument("--load-model", dest="load_model", default="", type=str,
                    help=".pth (reference) or orbax checkpoint to load weights from")
+    p.add_argument("--pretrained-backbone", dest="pretrained_backbone",
+                   default="", type=str,
+                   help="local torchvision ImageNet CLASSIFICATION .pth "
+                   "(resnet50 / mobilenet_v3_large) to seed the backbone "
+                   "trunk; FPN and heads stay freshly initialized. The "
+                   "local-file analog of the reference's --pretrained "
+                   "(train.py:73-76, model.py:28-31) — no downloads here.")
     p.add_argument("--validate-every-n-epochs", dest="validate_every_n_epochs",
                    type=int, default=1)
     p.add_argument("--test-only", dest="test_only", action="store_true")
@@ -266,10 +273,16 @@ def to_device_batch(batch, with_targets):
 def load_weights(args, config, params):
     from snn_automotive_object_detection_tpu.utils.checkpoint import (
         load_checkpoint,
+        load_torch_backbone,
         load_torch_checkpoint,
         load_weights_lenient,
     )
 
+    if getattr(args, "pretrained_backbone", ""):
+        # Trunk-only ImageNet seed, applied BEFORE --load-model so a full
+        # detector checkpoint (if also given) wins where keys overlap.
+        params = load_weights_lenient(
+            params, load_torch_backbone(args.pretrained_backbone))
     if not args.load_model:
         return params
     if args.load_model.endswith((".pth", ".pt")):

@@ -194,6 +194,75 @@ def _convert_mobilenet_body(sd: Dict[str, Any]) -> Dict[str, Any]:
     return body
 
 
+def _convert_resnet_body(sd: Dict[str, Any], bkey) -> Dict[str, Any]:
+    """ResNet-50 trunk (stem + layer1-4) from torchvision keys; ``bkey``
+    resolves prefix variants (bare classification keys vs the detector's
+    backbone.body. prefix)."""
+    backbone = {
+        "stem": {"w": _conv_w(sd, bkey("conv1.weight")),
+                 "bn": _bn(sd, bkey("bn1"))}
+    }
+    blocks_per_stage = (3, 4, 6, 3)
+    for stage, n_blocks in enumerate(blocks_per_stage, start=1):
+        blocks = []
+        for b in range(n_blocks):
+            pre = bkey(f"layer{stage}.{b}.conv1.weight")[: -len("conv1.weight")]
+            blk = {
+                "conv1": {"w": _conv_w(sd, f"{pre}conv1.weight"),
+                          "bn": _bn(sd, f"{pre}bn1")},
+                "conv2": {"w": _conv_w(sd, f"{pre}conv2.weight"),
+                          "bn": _bn(sd, f"{pre}bn2")},
+                "conv3": {"w": _conv_w(sd, f"{pre}conv3.weight"),
+                          "bn": _bn(sd, f"{pre}bn3")},
+            }
+            if f"{pre}downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "w": _conv_w(sd, f"{pre}downsample.0.weight"),
+                    "bn": _bn(sd, f"{pre}downsample.1"),
+                }
+            blocks.append(blk)
+        backbone[f"layer{stage}"] = blocks
+    return backbone
+
+
+def convert_torch_backbone_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a BARE torchvision CLASSIFICATION state_dict (resnet50 /
+    mobilenet_v3_large ImageNet weights — trunk keys only, no FPN, no
+    detection heads) into a partial parameter pytree ``{"backbone": body}``.
+
+    This is the local-file analog of the reference's ``--pretrained`` /
+    ``pretrained_backbone=True`` path (train.py:73-76, model.py:28-31,
+    faster_rcnn.py:693-699): the trunk is seeded from ImageNet weights
+    while FPN and heads keep their fresh initialization — merge the result
+    onto an init tree with ``load_weights_lenient``. Classification-only
+    keys (``fc.weight``, ``classifier.*``) are ignored.
+    """
+    sd = {k: v for k, v in sd.items()}
+    is_mobilenet = any(".block.0.0.weight" in k for k in sd)
+    if is_mobilenet:
+        return {"backbone": _convert_mobilenet_body(sd)}
+
+    def bkey(k):
+        for p in ("backbone.body.", "body.", ""):
+            if f"{p}{k}" in sd or f"{p}{k}.weight" in sd:
+                return f"{p}{k}"
+        raise KeyError(k)
+
+    return {"backbone": _convert_resnet_body(sd, bkey)}
+
+
+def load_torch_backbone(path: str) -> Dict[str, Any]:
+    """Load a local torchvision ImageNet classification ``.pth`` and return
+    the partial ``{"backbone": ...}`` tree (see
+    ``convert_torch_backbone_state_dict``)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj.get("state_dict", obj)) \
+        if isinstance(obj, dict) else obj
+    return convert_torch_backbone_state_dict(sd)
+
+
 def convert_torch_state_dict(
     sd: Dict[str, Any],
     rpn_snn: bool = True,
@@ -218,30 +287,7 @@ def convert_torch_state_dict(
     if is_mobilenet:
         backbone = _convert_mobilenet_body(sd)
     else:
-        backbone = {
-            "stem": {"w": _conv_w(sd, bkey("conv1.weight")),
-                     "bn": _bn(sd, bkey("bn1"))}
-        }
-        blocks_per_stage = (3, 4, 6, 3)
-        for stage, n_blocks in enumerate(blocks_per_stage, start=1):
-            blocks = []
-            for b in range(n_blocks):
-                pre = bkey(f"layer{stage}.{b}.conv1.weight")[: -len("conv1.weight")]
-                blk = {
-                    "conv1": {"w": _conv_w(sd, f"{pre}conv1.weight"),
-                              "bn": _bn(sd, f"{pre}bn1")},
-                    "conv2": {"w": _conv_w(sd, f"{pre}conv2.weight"),
-                              "bn": _bn(sd, f"{pre}bn2")},
-                    "conv3": {"w": _conv_w(sd, f"{pre}conv3.weight"),
-                              "bn": _bn(sd, f"{pre}bn3")},
-                }
-                if f"{pre}downsample.0.weight" in sd:
-                    blk["downsample"] = {
-                        "w": _conv_w(sd, f"{pre}downsample.0.weight"),
-                        "bn": _bn(sd, f"{pre}downsample.1"),
-                    }
-                blocks.append(blk)
-            backbone[f"layer{stage}"] = blocks
+        backbone = _convert_resnet_body(sd, bkey)
 
     # FPN: tv<=0.12 keys inner_blocks.<i>.weight, tv 0.13 Conv2dNormActivation
     # keys inner_blocks.<i>.0.weight — accept both. ResNet has 4 lateral
