@@ -87,10 +87,10 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         # XLA scan's real feature gradients.
         and not (training and _trainable_stages(config) > 0)
         and dtype == jnp.bfloat16
-        # The inference kernel has a mixed mode (lif_state_dtype) matching
-        # snn_state_dtype; the TRAIN VJP kernel is bf16-only, so mixed
-        # training keeps the XLA scan.
-        and not (mixed_state and training)
+        # Both the inference kernel and the train VJP kernel have an
+        # AMP-style mixed mode (lif_state_dtype=f32 with bf16 matmul
+        # operands, gradient-parity-tested vs the XLA mixed scan), so
+        # mixed-state training keeps the fused fast path (VERDICT r4 #2).
         and jax.default_backend() == "tpu"
     )
 
@@ -102,6 +102,7 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
         def rpn_head_apply(features):
             return rpn_head_snn_pallas_train_apply(
                 params["rpn_head"], features, config.t_rpn, state_dtype=dtype,
+                lif_state_dtype=sdt if mixed_state else None,
             )
     elif config.rpn_snn and use_pallas_rpn:
         from snn_automotive_object_detection_tpu.snn.pallas_rpn import (

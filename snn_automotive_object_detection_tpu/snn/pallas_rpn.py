@@ -445,14 +445,15 @@ def _run_level(
 # ====================================================================
 
 
-def _vmem_bytes_bwd(th: int, w_pad: int, c: int, sz: int, t: int) -> int:
+def _vmem_bytes_bwd(th: int, w_pad: int, c: int, sz: int, t: int,
+                    lsz: int) -> int:
     m = th * w_pad
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
     window = (th + 2) * w_pad * c * sz
     per_cnt_z = 3 * s_alloc * c * sz
     ptmp = 2 * _PERIOD_CHUNK * c * 4          # chunked f32 period temps
-    vdbuf = t * m * c * sz
-    lif = 2 * m * c * sz
+    vdbuf = t * m * c * lsz                   # replayed decayed membranes
+    lif = 2 * m * c * lsz
     f32_planes = 6 * m * c * 4                # acc, gw, lv, li, ssum, temps
     g_in = 2 * m * 128 * 4                    # double-buffered input block
     weights = (9 * c * c + 128 * c) * sz
@@ -464,10 +465,12 @@ def _vmem_bytes_bwd(th: int, w_pad: int, c: int, sz: int, t: int) -> int:
 _PERIOD_CHUNK = 512  # rows per f32 period-computation chunk (bwd kernel)
 
 
-def _choose_tile_h_bwd(h: int, w_pad: int, c: int, sz: int, t: int) -> int:
+def _choose_tile_h_bwd(h: int, w_pad: int, c: int, sz: int, t: int,
+                       lsz: int) -> int:
     cap = _round_up(h, 2)
     for th in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
-        if th <= cap and _vmem_bytes_bwd(th, w_pad, c, sz, t) <= _VMEM_BUDGET:
+        if th <= cap and _vmem_bytes_bwd(th, w_pad, c, sz, t,
+                                         lsz) <= _VMEM_BUDGET:
             return th
     return 1
 
@@ -505,8 +508,12 @@ def _rpn_level_bwd_kernel(
     tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv   # 0.1
     tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv   # 0.2
     alpha = float(snnf.LIF_PARAMS.alpha)
-    sd = v_ref.dtype
-    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(sd)))
+    # Plane/matmul dtype vs LIF state dtype — they differ in the AMP-style
+    # mixed mode (lif_dtype=f32), mirroring the forward kernel exactly so
+    # the replayed spike trains match the forward's.
+    sd = z_ref.dtype
+    ld = v_ref.dtype
+    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(ld)))
     enc_vth = float(snnf.ENCODER_PARAMS.v_th)
 
     r = pl.program_id(0)
@@ -566,7 +573,9 @@ def _rpn_level_bwd_kernel(
         vd_ref[pl.ds(t, 1)] = v_dec[None]
         s = (v_dec.astype(jnp.float32) - v_th > 0)
         v_ref[:] = jnp.where(s, 0.0, v_dec)
-        i_ref[:] = i_dec + acc_ref[:].astype(sd)
+        # Conv current rounded to the plane dtype first, then accumulated
+        # in the LIF state dtype (same ordering as the forward kernel).
+        i_ref[:] = i_dec + acc_ref[:].astype(sd).astype(ld)
         ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
         return ()
 
@@ -623,13 +632,20 @@ def _run_level_bwd(
     num_steps: int,
     state_dtype,
     interpret: bool,
+    lif_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backward pass of one level: cotangents (do, db) -> (dw9, dwout)."""
+    """Backward pass of one level: cotangents (do, db) -> (dw9, dwout).
+
+    lif_dtype: dtype of the replayed LIF v/i and stored decayed-membrane
+    planes (None -> state_dtype); f32 with bf16 state_dtype is the
+    AMP-style mixed mode, matching the forward kernel's lif_dtype."""
     n, h, w, c = feat.shape
+    lif_dtype = lif_dtype or state_dtype
     a5 = do.shape[-1] + db.shape[-1]
     sz = jnp.dtype(state_dtype).itemsize
+    lsz = jnp.dtype(lif_dtype).itemsize
     w_pad = _round_up(w + 2, 16)
-    th = _choose_tile_h_bwd(h, w_pad, c, sz, num_steps)
+    th = _choose_tile_h_bwd(h, w_pad, c, sz, num_steps, lsz)
     n_th = -(-h // th)
     m_rows = th * w_pad
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
@@ -676,9 +692,9 @@ def _run_level_bwd(
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
             pltpu.VMEM((s_alloc, c), state_dtype),
-            pltpu.VMEM((num_steps, m_rows, c), state_dtype),
-            pltpu.VMEM((m_rows, c), state_dtype),
-            pltpu.VMEM((m_rows, c), state_dtype),
+            pltpu.VMEM((num_steps, m_rows, c), lif_dtype),
+            pltpu.VMEM((m_rows, c), lif_dtype),
+            pltpu.VMEM((m_rows, c), lif_dtype),
             pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.VMEM((m_rows, c), jnp.float32),
             pltpu.VMEM((m_rows, c), jnp.float32),
@@ -700,27 +716,28 @@ def _run_level_bwd(
     return dw9, dwout
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _level_train(num_steps, num_anchors, state_dtype, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _level_train(num_steps, num_anchors, state_dtype, interpret, lif_dtype,
                  feat, w9, wout):
     """Differentiable fused RPN level (forward = the inference kernel)."""
     return _run_level(feat, w9, wout, num_steps, num_anchors, state_dtype,
-                      interpret)
+                      interpret, lif_dtype=lif_dtype)
 
 
 def _level_train_fwd(num_steps, num_anchors, state_dtype, interpret,
-                     feat, w9, wout):
+                     lif_dtype, feat, w9, wout):
     out = _run_level(feat, w9, wout, num_steps, num_anchors, state_dtype,
-                     interpret)
+                     interpret, lif_dtype=lif_dtype)
     return out, (feat, w9, wout)
 
 
 def _level_train_bwd(num_steps, num_anchors, state_dtype, interpret,
-                     res, cts):
+                     lif_dtype, res, cts):
     feat, w9, wout = res
     do, db = cts
     dw9, dwout = _run_level_bwd(
-        feat, w9, wout, do, db, num_steps, state_dtype, interpret
+        feat, w9, wout, do, db, num_steps, state_dtype, interpret,
+        lif_dtype=lif_dtype,
     )
     # Features are frozen by reference semantics (see module comment); a
     # zero cotangent keeps the contract explicit if stop_gradient is ever
@@ -738,6 +755,7 @@ def rpn_head_snn_pallas_train_apply(
     num_steps: int,
     state_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    lif_state_dtype=None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], None]:
     """Differentiable drop-in for heads.rpn_head_snn_apply at training time.
 
@@ -745,6 +763,12 @@ def rpn_head_snn_pallas_train_apply(
     reproduces the XLA scan's surrogate-gradient chain for the shared 3x3
     conv and the 1x1 readouts (feature cotangents are zero — the backbone is
     always frozen). Rates are not collected.
+
+    lif_state_dtype=jnp.float32 with bf16 state_dtype is the AMP-style
+    mixed mode (VERDICT r4 #2): forward AND backward-replay LIF v/i run in
+    f32 while every matmul operand stays bf16 — the reference's training
+    numerics (train.py:79/165 autocast GEMMs, norse f32 states) at fused-
+    kernel speed instead of the ~1.6x-slower XLA train scan.
     """
     assert num_steps <= _MAX_T
     n_anch = params["conv_cls"]["w"].shape[-1]
@@ -763,7 +787,7 @@ def rpn_head_snn_pallas_train_apply(
     logits, bbox_reg = [], []
     for feat in features:
         o, b = _level_train(num_steps, a, state_dtype, interpret,
-                            feat, w9, wout)
+                            lif_state_dtype, feat, w9, wout)
         logits.append(o)
         bbox_reg.append(b)
     return logits, bbox_reg, None

@@ -269,3 +269,74 @@ def test_pallas_rpn_pipelined_bit_identical(rng, monkeypatch):
         for key in ("encoder", "shared"):
             np.testing.assert_allclose(np.asarray(r_s[key]),
                                        np.asarray(r_p[key]), rtol=1e-6)
+
+
+def test_pallas_rpn_train_gradient_parity_mixed(rng):
+    """AMP-style mixed VJP (bf16 matmul operands + f32 LIF states) vs
+    autodiff through the XLA mixed scan (VERDICT r4 #2): with identical
+    spike trains (closed-form encoder, f32 states) the weight gradients
+    must agree to bf16 matmul rounding."""
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(4), 256, 3)
+    feats = _feats(rng, [(10, 18), (5, 9)], n=1)
+    ro = [jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+          for (h, w) in [(10, 18), (5, 9)]]
+    rb = [jnp.asarray(rng.normal(size=(1, h, w, 12)).astype(np.float32))
+          for (h, w) in [(10, 18), (5, 9)]]
+
+    def loss_xla(p):
+        o, b, _ = heads.rpn_head_snn_apply(
+            p, feats, 6, compute_dtype=jnp.bfloat16,
+            state_dtype=jnp.float32, fast_encoder=True
+        )
+        return sum((oo.astype(jnp.float32) * r).sum()
+                   for oo, r in zip(o, ro)) + \
+            sum((bb.astype(jnp.float32) * r).sum()
+                for bb, r in zip(b, rb))
+
+    def loss_pallas(p):
+        o, b, _ = rpn_head_snn_pallas_train_apply(
+            p, feats, 6, state_dtype=jnp.bfloat16,
+            lif_state_dtype=jnp.float32, interpret=True
+        )
+        return sum((oo.astype(jnp.float32) * r).sum()
+                   for oo, r in zip(o, ro)) + \
+            sum((bb.astype(jnp.float32) * r).sum()
+                for bb, r in zip(b, rb))
+
+    g_ref = jax.grad(loss_xla)(params)
+    g_k = jax.grad(loss_pallas)(params)
+    for name in ("shared_conv", "conv_cls", "conv_bbox"):
+        a = np.asarray(g_ref[name]["w"], np.float32)
+        k = np.asarray(g_k[name]["w"], np.float32)
+        assert a.shape == k.shape
+        scale = np.abs(a).max() + 1e-12
+        # bf16 conv reduction-order differences flip borderline LIF spikes
+        # (~0.5% of elements, measured), which the surrogate magnifies.
+        # The two paths round identically-VALUED but differently-ORDERED
+        # matmuls, so the residual is unbiased flip noise: bound the
+        # outlier fraction, the mean residual, and the correlation instead
+        # of a hard per-element atol.
+        d = np.abs(k - a) / scale
+        assert (d > 6e-2).mean() < 0.01, (name, float((d > 6e-2).mean()))
+        assert d.max() < 0.3, (name, float(d.max()))
+        assert float(d.mean()) < 2e-3, (name, float(d.mean()))
+        corr = float((a * k).sum() /
+                     (np.linalg.norm(a) * np.linalg.norm(k) + 1e-12))
+        assert corr > 0.999, (name, corr)
+
+
+def test_pallas_rpn_train_mixed_forward_matches_inference_kernel(rng):
+    """Mixed-mode train forward must be bit-identical to the mixed-mode
+    inference kernel (same _run_level, same lif_dtype)."""
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(5), 256, 3)
+    feats = _feats(rng, [(6, 10)], n=1)
+    o_t, b_t, _ = rpn_head_snn_pallas_train_apply(
+        params, feats, 4, state_dtype=jnp.bfloat16,
+        lif_state_dtype=jnp.float32, interpret=True
+    )
+    o_i, b_i, _ = rpn_head_snn_pallas_apply(
+        params, feats, 4, state_dtype=jnp.bfloat16,
+        lif_state_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o_t[0]), np.asarray(o_i[0]))
+    np.testing.assert_array_equal(np.asarray(b_t[0]), np.asarray(b_i[0]))

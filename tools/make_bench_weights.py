@@ -129,6 +129,9 @@ def main():
     ap.add_argument("--load", default=None)
     ap.add_argument("--save-every", type=int, default=1000,
                     help="write <out>.partial every N steps (stall insurance)")
+    ap.add_argument("--bf16-states", action="store_true",
+                    help="pure-bf16 SNN states (the round-3/4 operating "
+                    "point) instead of the default AMP numerics")
     ap.add_argument("--train-backbone", action="store_true",
                     help="unfreeze the backbone (needs the slow XLA RPN "
                     "path for feature gradients; ~10x slower steps). The "
@@ -153,12 +156,16 @@ def main():
     )
     from tools.synth_shapes import synth_batch_device
 
-    # snn_state_dtype=None (pure-bf16 states) rather than the f32 AMP
-    # default: the fast Pallas-VJP training path is bf16-state only (mixed
-    # state falls back to the ~1.6x-slower XLA train scan), and round-3/4
-    # checkpoints were produced this way — keep the operating point stable.
-    config = DetectorConfig(num_classes=9, t_rpn=8, t_det=12,
-                            snn_state_dtype=None)
+    # Default = the production AMP numerics (f32 SNN states + bf16 GEMMs,
+    # the DetectorConfig default): the Pallas train VJP has a mixed
+    # f32-state mode since round 5, so AMP training keeps the fused fast
+    # path (VERDICT r4 #2) and shipped checkpoints train under the same
+    # numerics they are evaluated with. --bf16-states restores the round-3/4
+    # operating point.
+    config = DetectorConfig(
+        num_classes=9, t_rpn=8, t_det=12,
+        **({"snn_state_dtype": None} if args.bf16_states else {}),
+    )
     params = init_params(config, jax.random.PRNGKey(args.seed))
     if args.load:
         params = load_checkpoint(os.path.abspath(args.load))["params"]
