@@ -24,6 +24,7 @@ with a validity mask.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -76,10 +77,44 @@ def flatten_head_outputs(
     return jnp.concatenate(obj_flat, 1), jnp.concatenate(reg_flat, 1), counts
 
 
+# Blocked two-stage top_k for the big P2 level (exact; A/B knob). XLA's
+# single top_k over P2's ~221k anchors measures ~2.0 ms of the ~2.8 ms
+# pre-NMS select (CLAUDE.md epilogue profile); splitting the row into B
+# blocks turns the serial sorted-dim depth into parallel batch work:
+# top_k([N*B, K/B], take) then top_k over the [N, B*take] concat.
+_BLOCKED_TOPK_DEFAULT = os.environ.get("RPN_BLOCKED_TOPK", "0") == "1"
+_BLOCKED_TOPK_MIN = int(os.environ.get("RPN_TOPK_BLOCK", "32768"))
+
+
+def _blocked_top_k(o: jnp.ndarray, take: int, block: int):
+    """Exact top_k(o, take) via per-block top_k + a merge top_k.
+
+    Exact because every global top-``take`` element is within its own
+    block's top-``take``. Tie order ALSO matches plain lax.top_k (lowest
+    index first): stage-1 is index-stable within a block, stage-2 scans the
+    block-major concat, so equal values resolve to (block, in-block idx)
+    lexicographic = global index order.
+    """
+    n, k = o.shape
+    nb = -(-k // block)
+    kp = nb * block
+    if kp != k:
+        o = jnp.pad(o, ((0, 0), (0, kp - k)), constant_values=NEG_INF_F32)
+    v1, i1 = jax.lax.top_k(o.reshape(n * nb, block), min(take, block))
+    i1 = (i1.reshape(n, nb, -1)
+          + (jnp.arange(nb, dtype=i1.dtype) * block)[None, :, None]).reshape(n, -1)
+    v2, i2 = jax.lax.top_k(v1.reshape(n, -1), take)
+    return v2, jnp.take_along_axis(i1, i2, axis=1)
+
+
+NEG_INF_F32 = float(jnp.finfo(jnp.float32).min)
+
+
 def select_pre_nms(
     objectness: jnp.ndarray,
     counts: List[int],
     top_n: int,
+    blocked: Optional[bool] = None,
 ):
     """Per-level top-k selection (rpn.py:434-446, 477-489).
 
@@ -90,14 +125,22 @@ def select_pre_nms(
     S = sum_l min(top_n, K_l). (Per-level identity is recovered downstream
     from the static level_sizes split — torchvision's levels tensor,
     rpn.py:478-480, is redundant under static shapes.)
+
+    blocked: use the exact two-stage blocked top_k on levels bigger than
+    2 blocks (None -> RPN_BLOCKED_TOPK env default).
     """
+    if blocked is None:
+        blocked = _BLOCKED_TOPK_DEFAULT
     obj_sel, idx_sel = [], []
     offset = 0
     for k in counts:
         take = min(top_n, k)
         o = objectness[:, offset:offset + k]
-        _, idx = jax.lax.top_k(o, take)  # [N, take]
-        obj_sel.append(jnp.take_along_axis(o, idx, axis=1))
+        if blocked and k >= 2 * _BLOCKED_TOPK_MIN and take <= _BLOCKED_TOPK_MIN:
+            vals, idx = _blocked_top_k(o, take, _BLOCKED_TOPK_MIN)
+        else:
+            vals, idx = jax.lax.top_k(o, take)  # [N, take]
+        obj_sel.append(vals)
         idx_sel.append(idx + offset)
         offset += k
     return jnp.concatenate(obj_sel, 1), jnp.concatenate(idx_sel, 1)
