@@ -73,6 +73,22 @@ _MAX_T = 32
 # lets Mosaic overlap step t+1's tap matmuls with step t's LIF VPU chain.
 # RPN_PIPELINE=0 restores the serial loop for A/Bs.
 _PIPELINE_DEFAULT = os.environ.get("RPN_PIPELINE", "1") == "1"
+# Cross-image interleave experiment (VERDICT r4 #4b): pair two batch
+# images per kernel instance so their independent step chains interleave.
+# A/B knob only — see the "_rpn_x2_kernel" section for why EV is low.
+_X2_DEFAULT = os.environ.get("RPN_X2", "0") == "1"
+# Compute the encoder first-spike periods at the XLA level (pointwise, so
+# XLA fuses the 8 compares into the FPN epilogue) and DMA the PERIOD plane
+# into the kernel instead of raw features. The in-kernel period pass runs
+# over (th+2)/th redundant halo rows — 2x at P2, whose VMEM budget forces
+# th=2 — and is pure serial prologue per tile; precomputing it removes
+# that VPU work and the xf/p f32 temporaries from the kernel for one extra
+# HBM write of the period plane. Bit-identical: same f32 compare chain on
+# the same state-dtype-rounded inputs, pad value = never (T+1).
+# NOTE round 3 tried "XLA periods" BEFORE per-tile window DMA existed —
+# that variant also paid an XLA halo row-gather + int-mod encoder; this
+# one only moves the pointwise period computation.
+_XLA_PERIODS_DEFAULT = os.environ.get("RPN_XLA_PERIODS", "0") == "1"
 
 # (dy, dx) tap order must match the [3, 3, C, C] HWIO weight layout.
 _TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -83,16 +99,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int,
-                pipelined: bool = False) -> int:
+                pipelined: bool = False, x_is_periods: bool = False) -> int:
     """Estimated VMEM use for a row-tile height of ``th`` (see kernel).
     sz = plane/weight itemsize, lsz = LIF state itemsize (f32 in the
     AMP-style mixed mode)."""
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
     m = th * w_pad
     s_halo = (th + 2) * w_pad
-    window = s_halo * c * sz               # DMA'd feature window
+    window = s_halo * c * sz               # DMA'd feature/period window
     per_cnt_z = 3 * s_alloc * c * sz       # period + countdown + spikes
-    period_tmp = 2 * s_halo * c * 4        # xf + p f32 temporaries
+    # xf + p f32 temporaries of the in-kernel period pass (absent when the
+    # periods come precomputed via DMA)
+    period_tmp = 0 if x_is_periods else 2 * s_halo * c * 4
     lif = 2 * m * c * lsz                  # v, i
     acc = m * c * 4                        # f32 conv accumulator
     if pipelined:
@@ -106,13 +124,13 @@ def _vmem_bytes(th: int, w_pad: int, c: int, sz: int, lsz: int,
 
 
 def _choose_tile_h(h: int, w_pad: int, c: int, sz: int, lsz: int,
-                   pipelined: bool = False) -> int:
+                   pipelined: bool = False, x_is_periods: bool = False) -> int:
     """Largest row-tile height that fits the VMEM budget (capped at the
     padded image height so tiny upper FPN levels stay one tile)."""
     cap = _round_up(h, 2)
     for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2):
-        if th <= cap and _vmem_bytes(th, w_pad, c, sz, lsz,
-                                     pipelined) <= _VMEM_BUDGET:
+        if th <= cap and _vmem_bytes(th, w_pad, c, sz, lsz, pipelined,
+                                     x_is_periods) <= _VMEM_BUDGET:
             return th
     return 2
 
@@ -134,6 +152,7 @@ def _rpn_level_kernel(
     w_img: int = 0,
     collect_rates: bool = False,
     pipelined: bool = False,
+    x_is_periods: bool = False,
 ):
     # Scratches (after the optional rates output):
     #   xwin_ref  [th+2, W_pad, C] window scratch (DMA target)
@@ -183,18 +202,23 @@ def _rpn_level_kernel(
         ref[:] = jnp.zeros_like(ref)
 
     dma.wait()
-    # Closed-form first-spike period as a threshold count: the encoder
-    # membrane after m steps of constant current x is x * (1 - a^m)
-    # (snn/functional.py encoder_periods), so
-    #   p = 1 + sum_{m=1..T} [x * (1 - a^m) <= v_th_enc]
-    # — exactly encoder_periods' integer for p <= T, and "never" (> T)
-    # otherwise, which is indistinguishable within a T-step run.
     s_halo = (tile_h + 2) * w_pad
-    xf = xwin_ref[:].reshape(s_halo, -1).astype(jnp.float32)
-    p = jnp.ones_like(xf)
-    for m in range(num_steps):
-        p = p + (xf * thr_ref[m] <= enc_vth).astype(jnp.float32)
-    per_ref[_BASE:_BASE + s_halo, :] = p.astype(sd)
+    if x_is_periods:
+        # The window IS the precomputed period plane (XLA-side pointwise
+        # pass, RPN_XLA_PERIODS) — just place it at the haloed offset.
+        per_ref[_BASE:_BASE + s_halo, :] = xwin_ref[:].reshape(s_halo, -1)
+    else:
+        # Closed-form first-spike period as a threshold count: the encoder
+        # membrane after m steps of constant current x is x * (1 - a^m)
+        # (snn/functional.py encoder_periods), so
+        #   p = 1 + sum_{m=1..T} [x * (1 - a^m) <= v_th_enc]
+        # — exactly encoder_periods' integer for p <= T, and "never" (> T)
+        # otherwise, which is indistinguishable within a T-step run.
+        xf = xwin_ref[:].reshape(s_halo, -1).astype(jnp.float32)
+        p = jnp.ones_like(xf)
+        for m in range(num_steps):
+            p = p + (xf * thr_ref[m] <= enc_vth).astype(jnp.float32)
+        per_ref[_BASE:_BASE + s_halo, :] = p.astype(sd)
     cnt_ref[:] = per_ref[:]
 
     if collect_rates:
@@ -319,6 +343,7 @@ def _run_level(
     collect_rates: bool = False,
     lif_dtype=None,
     pipelined: Optional[bool] = None,
+    xla_periods: Optional[bool] = None,
 ):
     """One FPN level through the fused kernel.
 
@@ -334,27 +359,25 @@ def _run_level(
     pipelined: software-pipeline the T-step loop (statically unrolled,
     double-buffered conv accumulator; see _rpn_level_kernel). Numerically
     identical — scheduling only. None -> _PIPELINE_DEFAULT.
+
+    xla_periods: compute the encoder first-spike periods XLA-side (fused
+    pointwise pass) and DMA the period plane instead of raw features.
+    Bit-identical (same f32 compare chain on the same state-dtype-rounded
+    inputs; pad = never). None -> _XLA_PERIODS_DEFAULT.
     """
     n, h, w, c = feat.shape
     lif_dtype = lif_dtype or state_dtype
     if pipelined is None:
         pipelined = _PIPELINE_DEFAULT
+    if xla_periods is None:
+        xla_periods = _XLA_PERIODS_DEFAULT
     sz = jnp.dtype(state_dtype).itemsize
     lsz = jnp.dtype(lif_dtype).itemsize
     w_pad = _round_up(w + 2, 16)
-    th = _choose_tile_h(h, w_pad, c, sz, lsz, pipelined)
+    th = _choose_tile_h(h, w_pad, c, sz, lsz, pipelined, xla_periods)
     n_th = -(-h // th)
     m_rows = th * w_pad
     s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
-
-    # Zero-pad to the windowed layout: 1 halo row top/bottom, 1 halo col
-    # left, width to W_pad, height to n_th*th. Zero features never spike
-    # (x <= v_th_enc), matching the conv's zero padding and the XLA path's
-    # period-255 padding.
-    x_pad = jnp.pad(
-        feat.astype(state_dtype),
-        ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
-    )
 
     # Membrane constants 1 - a^m for m = 1..T, computed with the SAME XLA
     # pow arithmetic encoder_periods uses (folded at compile time).
@@ -362,10 +385,36 @@ def _run_level(
     thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
     li_coef = _li_coefficients(num_steps)
 
+    if xla_periods:
+        # Pointwise period plane, exactly the kernel's compare chain: round
+        # features to the plane dtype (what the DMA'd window would hold),
+        # extend to f32, count thresholds. XLA fuses this into the FPN
+        # epilogue; pad with "never" (= what zero features compute to).
+        xf = feat.astype(state_dtype).astype(jnp.float32)
+        p = jnp.full(xf.shape, 1.0, jnp.float32)
+        for m in range(num_steps):
+            p = p + (xf * thresholds[m] <=
+                     float(snnf.ENCODER_PARAMS.v_th)).astype(jnp.float32)
+        x_pad = jnp.pad(
+            p.astype(state_dtype),
+            ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
+            constant_values=float(num_steps + 1),
+        )
+    else:
+        # Zero-pad to the windowed layout: 1 halo row top/bottom, 1 halo
+        # col left, width to W_pad, height to n_th*th. Zero features never
+        # spike (x <= v_th_enc), matching the conv's zero padding and the
+        # XLA path's period-255 padding.
+        x_pad = jnp.pad(
+            feat.astype(state_dtype),
+            ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
+        )
+
     kernel = functools.partial(
         _rpn_level_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
         m_rows=m_rows, w_pad=w_pad, h_img=h, w_img=w,
         collect_rates=collect_rates, pipelined=pipelined,
+        x_is_periods=xla_periods,
     )
     out_specs = [pl.BlockSpec((1, m_rows, 128), lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -416,6 +465,263 @@ def _run_level(
     enc_rate = counts[:, 0] / denom
     shared_rate = counts[:, 1] / denom
     return mem[..., :a_n], mem[..., a_n:], enc_rate, shared_rate
+
+
+# ====================================================================
+# Cross-image interleave experiment (VERDICT r4 #4b): one kernel instance
+# runs the SAME row-tile of TWO batch images, statically interleaving the
+# two independent T-step chains so Mosaic may overlap image A's serial
+# VPU LIF ops with image B's MXU tap matmuls. The round-3 two-SPATIAL-tile
+# interleave measured within noise ("Mosaic schedules serially"); the
+# per-step VPU ops here are long-vector throughput-bound, so the expected
+# value is low — this variant exists to measure that claim cross-image
+# (RPN_X2=1, tools/ximg_probe.py) rather than assert it. Doubled per-image
+# scratches halve the row-tile height, so halo/period overhead doubles.
+#
+# MEASURED (v5e, round 5) — negative, knob stays off:
+#  - P2 (192x384) and P3 (96x192) are VMEM-INFEASIBLE: even the minimal
+#    th=2 paired tile needs ~24.1 MB scoped VMEM vs the 16 MB limit (two
+#    images' f32 LIF/accumulator planes + encoder f32 temporaries cannot
+#    co-reside), so the production levels that carry ~90% of RPN time
+#    cannot pair at all (they fall back to the per-image kernel).
+#  - On the three levels where pairing fits (P4-P6), the full 5-level head
+#    measures 14.27 ms paired vs 13.91 ms per-image (exact=True) — the
+#    interleave is ~noise-slower even where it compiles, consistent with
+#    the round-3 finding that Mosaic schedules serially.
+# ====================================================================
+
+
+def _vmem_bytes_x2(th: int, w_pad: int, c: int, sz: int, lsz: int) -> int:
+    """Two images' pipelined working set sharing one copy of the weights."""
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
+    m = th * w_pad
+    s_halo = (th + 2) * w_pad
+    per_img = (
+        s_halo * c * sz            # DMA'd feature window
+        + 3 * s_alloc * c * sz     # period + countdown + spikes
+        + 2 * s_halo * c * 4       # xf + p f32 period temporaries
+        + 2 * m * c * lsz          # v, i
+        + 2 * m * c * 4            # double-buffered conv accumulator
+        + m * c * 4                # ssum
+        + m * c * 4                # f32 spike temp per step
+        + 2 * m * 128 * sz         # pipelined output half-blocks
+    )
+    w = (9 * c * c + 128 * c) * sz
+    return 2 * per_img + w
+
+
+def _choose_tile_h_x2(h: int, w_pad: int, c: int, sz: int, lsz: int):
+    """Largest feasible paired row-tile, or None when even th=2 exceeds
+    the VMEM budget (measured on v5e at the production P2 level: the
+    minimal tile's two-image working set is ~24.1 MB vs the 16 MB scoped
+    limit — two f32 LIF/accumulator plane sets cannot co-reside)."""
+    cap = _round_up(h, 2)
+    for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2):
+        if th <= cap and _vmem_bytes_x2(th, w_pad, c, sz, lsz) <= _VMEM_BUDGET:
+            return th
+    return None
+
+
+def _x2_feasible(feat_shape, state_dtype, lif_dtype=None) -> bool:
+    n, h, w, c = feat_shape
+    if n % 2 != 0:
+        return False
+    sz = jnp.dtype(state_dtype).itemsize
+    lsz = jnp.dtype(lif_dtype or state_dtype).itemsize
+    return _choose_tile_h_x2(h, _round_up(w + 2, 16), c, sz, lsz) is not None
+
+
+def _rpn_x2_kernel(
+    thr_ref,    # [T] f32 (scalar prefetch)
+    li_ref,     # [T] f32 (scalar prefetch)
+    x_hbm,      # [N, HT, W_pad, C] state_dtype (ANY)
+    w9_ref,     # [9, C, C]  state_dtype
+    wout_ref,   # [C, 128]   state_dtype
+    out_ref,    # [1, 2, M, 128] state_dtype — the pair's LI membranes
+    *rest,
+    num_steps: int,
+    n_th: int,
+    tile_h: int,
+    m_rows: int,
+    w_pad: int,
+):
+    """Pipelined pair-of-images variant of _rpn_level_kernel.
+
+    Scratches come interleaved per image: (xwin, per, cnt, z, v, i, acc0,
+    acc1, ssum) x 2, then two DMA semaphores. Numerics are bit-identical
+    to _run_level per image (same step math, same dtypes)."""
+    per_img = [rest[0:18:2], rest[1:18:2]]
+    sems = rest[18:20]
+    dt = snnf.DT
+    tau_mem = dt * snnf.LIF_PARAMS.tau_mem_inv
+    tau_syn = dt * snnf.LIF_PARAMS.tau_syn_inv
+    sd = per_img[0][3].dtype
+    ld = per_img[0][4].dtype
+    v_th = float(np.asarray(snnf.LIF_PARAMS.v_th, dtype=np.dtype(ld)))
+    enc_vth = float(snnf.ENCODER_PARAMS.v_th)
+
+    r = pl.program_id(0)
+    pair = r // n_th
+    row0 = (r % n_th) * tile_h
+    never = float(num_steps + 1)
+    s_halo = (tile_h + 2) * w_pad
+
+    dmas = []
+    for p in range(2):
+        xwin_ref = per_img[p][0]
+        dma = pltpu.make_async_copy(
+            x_hbm.at[2 * pair + p, pl.ds(row0, tile_h + 2), :, :],
+            xwin_ref, sems[p],
+        )
+        dma.start()
+        dmas.append(dma)
+    for p in range(2):
+        _, per_ref, cnt_ref, z_ref, v_ref, i_ref, a0, a1, ssum_ref = \
+            per_img[p]
+        per_ref[:] = jnp.full_like(per_ref, never)
+        v_ref[:] = jnp.zeros_like(v_ref)
+        i_ref[:] = jnp.zeros_like(i_ref)
+        ssum_ref[:] = jnp.zeros_like(ssum_ref)
+    for p in range(2):
+        xwin_ref, per_ref, cnt_ref = per_img[p][0:3]
+        dmas[p].wait()
+        xf = xwin_ref[:].reshape(s_halo, -1).astype(jnp.float32)
+        pp = jnp.ones_like(xf)
+        for m in range(num_steps):
+            pp = pp + (xf * thr_ref[m] <= enc_vth).astype(jnp.float32)
+        per_ref[_BASE:_BASE + s_halo, :] = pp.astype(sd)
+        cnt_ref[:] = per_ref[:]
+
+    def encoder_step(p):
+        _, per_ref, cnt_ref, z_ref = per_img[p][0:4]
+        c = cnt_ref[:] - 1.0
+        spike = c.astype(jnp.float32) < 0.5
+        cnt_ref[:] = jnp.where(spike, per_ref[:], c)
+        z_ref[:] = spike.astype(sd)
+
+    def conv_taps(p, acc):
+        z_ref = per_img[p][3]
+        for k, (dy, dx) in enumerate(_TAPS):
+            start = _BASE + (1 + dy) * w_pad + dx
+            part = jnp.dot(
+                z_ref[start:start + m_rows, :],
+                w9_ref[k],
+                preferred_element_type=jnp.float32,
+            )
+            if k == 0:
+                acc[:] = part
+            else:
+                acc[:] = acc[:] + part
+
+    def lif_step(p, t, acc):
+        v_ref, i_ref = per_img[p][4:6]
+        ssum_ref = per_img[p][8]
+        v_dec = v_ref[:] + tau_mem * (i_ref[:] - v_ref[:])
+        i_dec = i_ref[:] - tau_syn * i_ref[:]
+        s = (v_dec.astype(jnp.float32) - v_th > 0)
+        v_ref[:] = jnp.where(s, 0.0, v_dec)
+        i_ref[:] = i_dec + acc[:].astype(sd).astype(ld)
+        ssum_ref[:] = ssum_ref[:] + li_ref[t] * s.astype(jnp.float32)
+
+    accs = [per_img[p][6:8] for p in range(2)]
+    for p in range(2):
+        encoder_step(p)
+        conv_taps(p, accs[p][0])
+    for t in range(num_steps):
+        if t + 1 < num_steps:
+            for p in range(2):
+                encoder_step(p)
+                conv_taps(p, accs[p][(t + 1) % 2])
+        for p in range(2):
+            lif_step(p, t, accs[p][t % 2])
+    for p in range(2):
+        ssum_ref = per_img[p][8]
+        out_ref[0, p] = jnp.dot(
+            ssum_ref[:], wout_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(sd)
+
+
+def _run_level_x2(
+    feat: jnp.ndarray,
+    w9: jnp.ndarray,
+    wout: jnp.ndarray,
+    num_steps: int,
+    num_anchors: int,
+    state_dtype,
+    interpret: bool,
+    lif_dtype=None,
+):
+    """Cross-image-paired _run_level (even batch, no rate collection)."""
+    n, h, w, c = feat.shape
+    assert n % 2 == 0
+    lif_dtype = lif_dtype or state_dtype
+    sz = jnp.dtype(state_dtype).itemsize
+    lsz = jnp.dtype(lif_dtype).itemsize
+    w_pad = _round_up(w + 2, 16)
+    th = _choose_tile_h_x2(h, w_pad, c, sz, lsz)
+    assert th is not None, "x2 infeasible for this level (gate upstream)"
+    n_th = -(-h // th)
+    m_rows = th * w_pad
+    s_alloc = _round_up(_BASE + (th + 2) * w_pad + w_pad + 1, 16)
+
+    x_pad = jnp.pad(
+        feat.astype(state_dtype),
+        ((0, 0), (1, n_th * th - h + 1), (1, w_pad - w - 1), (0, 0)),
+    )
+    a = 1.0 - snnf.DT * snnf.ENCODER_PARAMS.tau_mem_inv
+    thresholds = 1.0 - a ** jnp.arange(1, num_steps + 1, dtype=jnp.float32)
+    li_coef = _li_coefficients(num_steps)
+
+    kernel = functools.partial(
+        _rpn_x2_kernel, num_steps=num_steps, n_th=n_th, tile_h=th,
+        m_rows=m_rows, w_pad=w_pad,
+    )
+    def _per_image():
+        return [
+            pltpu.VMEM((th + 2, w_pad, c), state_dtype),   # xwin
+            pltpu.VMEM((s_alloc, c), state_dtype),         # per
+            pltpu.VMEM((s_alloc, c), state_dtype),         # cnt
+            pltpu.VMEM((s_alloc, c), state_dtype),         # z
+            pltpu.VMEM((m_rows, c), lif_dtype),            # v
+            pltpu.VMEM((m_rows, c), lif_dtype),            # i
+            pltpu.VMEM((m_rows, c), jnp.float32),          # acc0
+            pltpu.VMEM((m_rows, c), jnp.float32),          # acc1
+            pltpu.VMEM((m_rows, c), jnp.float32),          # ssum
+        ]
+    # Interleaved (ref0_img0, ref0_img1, ref1_img0, ...) — see kernel unpack.
+    scratch = [s for pair in zip(_per_image(), _per_image()) for s in pair]
+    scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // 2 * n_th,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, c, c), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 2, m_rows, 128),
+                                lambda i, *_: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n // 2 * n_th, 2, m_rows, 128),
+                                        state_dtype)],
+        interpret=interpret,
+    )(thresholds, jnp.asarray(li_coef), x_pad,
+      w9.astype(state_dtype), wout.astype(state_dtype))[0]
+
+    a_n = num_anchors
+    # [P, n_th, 2, M, 128] -> [P, 2, n_th, M, 128] -> [N, H, W, 5A] slices
+    mem = out.reshape(n // 2, n_th, 2, m_rows, 128).swapaxes(1, 2)
+    mem = mem.reshape(n, n_th, th, w_pad, 128)[:, :, :, 1:w + 1, :5 * a_n]
+    mem = mem.reshape(n, n_th * th, w, 5 * a_n)[:, :h].astype(jnp.float32)
+    return mem[..., :a_n], mem[..., a_n:]
 
 
 # ====================================================================
@@ -839,9 +1145,14 @@ def rpn_head_snn_pallas_apply(
     logits, bbox_reg = [], []
     enc_rates, shared_rates = [], []
     for feat in features:
-        res = _run_level(feat, w9, wout, num_steps, a, state_dtype,
-                         interpret, collect_rates=collect_rates,
-                         lif_dtype=lif_state_dtype)
+        if (_X2_DEFAULT and not collect_rates
+                and _x2_feasible(feat.shape, state_dtype, lif_state_dtype)):
+            res = _run_level_x2(feat, w9, wout, num_steps, a, state_dtype,
+                                interpret, lif_dtype=lif_state_dtype)
+        else:
+            res = _run_level(feat, w9, wout, num_steps, a, state_dtype,
+                             interpret, collect_rates=collect_rates,
+                             lif_dtype=lif_state_dtype)
         logits.append(res[0])
         bbox_reg.append(res[1])
         if collect_rates:

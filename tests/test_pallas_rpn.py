@@ -271,6 +271,82 @@ def test_pallas_rpn_pipelined_bit_identical(rng, monkeypatch):
                                        np.asarray(r_p[key]), rtol=1e-6)
 
 
+def test_pallas_rpn_x2_bit_identical(rng, monkeypatch):
+    """The cross-image-paired kernel (RPN_X2 experiment, VERDICT r4 #4b)
+    interleaves two images' independent step chains — a scheduling-only
+    change whose outputs must be bit-identical to the per-image kernel in
+    every dtype mode, including batch 4 (two pairs) and odd heights."""
+    from snn_automotive_object_detection_tpu.snn import pallas_rpn as pr
+
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(11), 256, 3)
+    for n in (2, 4):
+        feats = _feats(rng, [(10, 18), (5, 9)], n=n)
+        for state_dtype, lif_dtype in [
+            (jnp.bfloat16, None),
+            (jnp.bfloat16, jnp.float32),
+            (jnp.float32, None),
+        ]:
+            monkeypatch.setattr(pr, "_X2_DEFAULT", False)
+            o_s, b_s, _ = rpn_head_snn_pallas_apply(
+                params, feats, 8, state_dtype=state_dtype, interpret=True,
+                lif_state_dtype=lif_dtype,
+            )
+            monkeypatch.setattr(pr, "_X2_DEFAULT", True)
+            o_p, b_p, _ = rpn_head_snn_pallas_apply(
+                params, feats, 8, state_dtype=state_dtype, interpret=True,
+                lif_state_dtype=lif_dtype,
+            )
+            monkeypatch.setattr(pr, "_X2_DEFAULT", False)
+            for lvl in range(len(feats)):
+                np.testing.assert_array_equal(
+                    np.asarray(o_s[lvl], np.float32),
+                    np.asarray(o_p[lvl], np.float32))
+                np.testing.assert_array_equal(
+                    np.asarray(b_s[lvl], np.float32),
+                    np.asarray(b_p[lvl], np.float32))
+
+
+def test_pallas_rpn_xla_periods_bit_identical(rng, monkeypatch):
+    """RPN_XLA_PERIODS moves the pointwise encoder-period pass out of the
+    kernel (XLA computes the period plane; the kernel DMAs periods instead
+    of features). Same f32 compare chain on the same state-dtype-rounded
+    inputs -> outputs must be bit-identical in every dtype mode, including
+    rate collection (the encoder z counts come from the same countdown)."""
+    from snn_automotive_object_detection_tpu.snn import pallas_rpn as pr
+
+    params = heads.init_rpn_head_snn(jax.random.PRNGKey(13), 256, 3)
+    feats = _feats(rng, [(10, 18), (5, 9)], n=2)
+    for state_dtype, lif_dtype in [
+        (jnp.bfloat16, None),
+        (jnp.bfloat16, jnp.float32),
+        (jnp.float32, None),
+    ]:
+        for collect in (False, True):
+            monkeypatch.setattr(pr, "_XLA_PERIODS_DEFAULT", False)
+            r_s = rpn_head_snn_pallas_apply(
+                params, feats, 8, state_dtype=state_dtype, interpret=True,
+                lif_state_dtype=lif_dtype, collect_rates=collect,
+            )
+            monkeypatch.setattr(pr, "_XLA_PERIODS_DEFAULT", True)
+            r_p = rpn_head_snn_pallas_apply(
+                params, feats, 8, state_dtype=state_dtype, interpret=True,
+                lif_state_dtype=lif_dtype, collect_rates=collect,
+            )
+            monkeypatch.setattr(pr, "_XLA_PERIODS_DEFAULT", False)
+            for lvl in range(len(feats)):
+                np.testing.assert_array_equal(
+                    np.asarray(r_s[0][lvl], np.float32),
+                    np.asarray(r_p[0][lvl], np.float32))
+                np.testing.assert_array_equal(
+                    np.asarray(r_s[1][lvl], np.float32),
+                    np.asarray(r_p[1][lvl], np.float32))
+            if collect:
+                for key in ("encoder", "shared"):
+                    np.testing.assert_allclose(np.asarray(r_s[2][key]),
+                                               np.asarray(r_p[2][key]),
+                                               rtol=1e-6)
+
+
 def test_pallas_rpn_train_gradient_parity_mixed(rng):
     """AMP-style mixed VJP (bf16 matmul operands + f32 LIF states) vs
     autodiff through the XLA mixed scan (VERDICT r4 #2): with identical
