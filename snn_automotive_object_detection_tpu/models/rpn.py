@@ -77,13 +77,21 @@ def flatten_head_outputs(
     return jnp.concatenate(obj_flat, 1), jnp.concatenate(reg_flat, 1), counts
 
 
-# Blocked two-stage top_k for the big P2 level (exact; A/B knob). XLA's
-# single top_k over P2's ~221k anchors measures ~2.0 ms of the ~2.8 ms
-# pre-NMS select (CLAUDE.md epilogue profile); splitting the row into B
+# Blocked two-stage top_k for the big P2/P3 levels (exact values; ON by
+# default since round 5). XLA's single top_k over P2's ~221k anchors
+# measures ~2.0 ms of the ~2.8 ms pre-NMS select; splitting the row into B
 # blocks turns the serial sorted-dim depth into parallel batch work:
 # top_k([N*B, K/B], take) then top_k over the [N, B*take] concat.
-_BLOCKED_TOPK_DEFAULT = os.environ.get("RPN_BLOCKED_TOPK", "0") == "1"
-_BLOCKED_TOPK_MIN = int(os.environ.get("RPN_TOPK_BLOCK", "32768"))
+# Measured on v5e (tools/topk_probe.py + same-session bench A/B): 5-level
+# select 2.98 -> 1.66 ms standalone; e2e batch 2 54.96 -> 56.98 img/s at
+# block 16384 (56.62 at 8192, 2.26 ms standalone at 32768).
+# Values are bit-identical to plain lax.top_k; tie ORDER on TPU can differ
+# because plain TPU top_k itself is not lowest-index-first over long rows
+# (measured: ~14 of 1000 selected P2 rows swap under random f32 scores) —
+# the blocked variant resolves ties lowest-index-first, which matches CPU
+# lax.top_k and is the more canonical order (tests/test_blocked_topk.py).
+_BLOCKED_TOPK_DEFAULT = os.environ.get("RPN_BLOCKED_TOPK", "1") == "1"
+_BLOCKED_TOPK_MIN = int(os.environ.get("RPN_TOPK_BLOCK", "16384"))
 
 
 def _blocked_top_k(o: jnp.ndarray, take: int, block: int):
