@@ -23,6 +23,7 @@ validity masks.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -164,7 +165,22 @@ def _per_class_nms(boxes, scores, valid, nms_thresh):
     return jnp.transpose(keep_pc, (1, 0)).reshape(-1)
 
 
-def postprocess_detections(
+# Pruned per-class NMS (exact, with a whole-batch lax.cond fallback): with
+# the SNN score_thresh at 0.4 over a softmax, only a handful of the P
+# proposals are valid per FG class, yet the full path stable-argsorts all P
+# rows and sweeps P/256 IoU blocks of [256, P] per class. Selecting the
+# top-K masked scores (K >= the valid count — greedy NMS only ever looks at
+# valid rows) shrinks each FG class to ONE presorted NMS block of K and a
+# [K, K] IoU. The BG group is NOT score-thresholded (every unclaimed
+# proposal is valid, roi_heads.py:1136-1148) so it stays on the full path.
+# Measured on v5e (same-session bench A/B, batch 2): 53.55 -> 57.37 img/s
+# at K=128 (the K=256 variant's compile exceeded the 20-min probe cap and
+# was not pursued). ON by default since round 5.
+_PRUNED_NMS_DEFAULT = os.environ.get("ROI_PRUNED_NMS", "1") == "1"
+_PRUNED_NMS_K = int(os.environ.get("ROI_PRUNED_K", "128"))
+
+
+def _postproc_groups(
     class_logits: jnp.ndarray,
     box_regression: jnp.ndarray,
     proposals: jnp.ndarray,
@@ -172,16 +188,14 @@ def postprocess_detections(
     image_size: jnp.ndarray,
     cfg: RoIConfig,
 ):
-    """Open-set postprocess for ONE image (roi_heads.py:1075-1176).
+    """Per-image first half of the open-set postprocess: softmax/decode/clip
+    plus assembly of the G = (C-1) FG + 1 BG NMS groups.
 
-    class_logits: [P, C]; box_regression: [P, C*4] or [P, 4];
-    proposals: [P, 4]; image_size: (h, w).
-
-    Returns dict of fixed-size outputs:
-      boxes/scores/labels/valid: [D + P, ...] — FG detections (D =
-        detections_per_img) concatenated with surviving BG boxes (P slots)
-      all_scores: [P, C] softmax scores (pre-NMS, all classes)
-      all_boxes:  [P, C, 4] clipped per-class boxes (pre-NMS)
+    Returns ((gb [G, P, 4], gs [G, P], gv [G, P]), inter) where ``inter``
+    carries everything :func:`_postproc_outputs` needs. Split from
+    :func:`postprocess_detections` so the NMS can run OUTSIDE the per-image
+    vmap (a lax.cond under vmap degenerates to select-of-both-branches; the
+    pruned fast path needs a real whole-batch branch).
     """
     p, c = class_logits.shape
     scores = jax.nn.softmax(class_logits, axis=-1)
@@ -218,21 +232,37 @@ def postprocess_detections(
         prop_valid & ~claimed & box_ops.small_box_mask(bg_boxes, cfg.min_size)
     )
 
-    keep_all = jax.vmap(
-        lambda b, s, v: nms_ops.nms_mask(b, s, v, cfg.nms_thresh)[0]
-    )(
-        jnp.concatenate([jnp.transpose(boxes[:, 1:, :], (1, 0, 2)),
-                         bg_boxes[None]], axis=0),
-        jnp.concatenate([jnp.transpose(scores[:, 1:], (1, 0)),
-                         bg_scores[None]], axis=0),
-        jnp.concatenate([jnp.transpose(fg_valid.reshape(p, c - 1), (1, 0)),
-                         bg_valid[None]], axis=0),
-    )
-    fg_keep = jnp.transpose(keep_all[:c - 1], (1, 0)).reshape(-1)
-    d = cfg.detections_per_img
-    fg_idx, fg_out_valid = nms_ops.topk_after_nms(fg_scores, fg_keep, d)
-    bg_idx, bg_out_valid = nms_ops.topk_after_nms(bg_scores, keep_all[c - 1], p)
+    gb = jnp.concatenate(
+        [jnp.transpose(boxes[:, 1:, :], (1, 0, 2)), bg_boxes[None]], axis=0)
+    gs = jnp.concatenate(
+        [jnp.transpose(scores[:, 1:], (1, 0)), bg_scores[None]], axis=0)
+    gv = jnp.concatenate(
+        [jnp.transpose(fg_valid.reshape(p, c - 1), (1, 0)), bg_valid[None]],
+        axis=0)
+    inter = {
+        "fg_boxes": fg_boxes, "fg_scores": fg_scores, "fg_labels": fg_labels,
+        "bg_boxes": bg_boxes, "bg_scores": bg_scores,
+        "all_scores": all_scores, "all_boxes": all_boxes,
+    }
+    return (gb, gs, gv), inter
 
+
+def _postproc_outputs(inter, keep_all: jnp.ndarray, cfg: RoIConfig):
+    """Per-image second half: top-k after NMS + fixed-size output assembly.
+
+    keep_all: [G, P] NMS keep masks from :func:`_batched_group_nms` (FG
+    classes first, BG last).
+    """
+    g, p = keep_all.shape
+    fg_keep = jnp.transpose(keep_all[:g - 1], (1, 0)).reshape(-1)
+    d = cfg.detections_per_img
+    fg_idx, fg_out_valid = nms_ops.topk_after_nms(inter["fg_scores"], fg_keep, d)
+    bg_idx, bg_out_valid = nms_ops.topk_after_nms(
+        inter["bg_scores"], keep_all[g - 1], p)
+
+    fg_boxes, fg_scores = inter["fg_boxes"], inter["fg_scores"]
+    bg_boxes, bg_scores = inter["bg_boxes"], inter["bg_scores"]
+    fg_labels = inter["fg_labels"]
     out_boxes = jnp.concatenate([fg_boxes[fg_idx], bg_boxes[bg_idx]], axis=0)
     out_scores = jnp.concatenate([fg_scores[fg_idx], bg_scores[bg_idx]], axis=0)
     out_labels = jnp.concatenate(
@@ -245,9 +275,79 @@ def postprocess_detections(
         "scores": jnp.where(out_valid, out_scores, 0.0),
         "labels": jnp.where(out_valid, out_labels, 0),
         "valid": out_valid,
-        "all_scores": all_scores,
-        "all_boxes": all_boxes,
+        "all_scores": inter["all_scores"],
+        "all_boxes": inter["all_boxes"],
     }
+
+
+def _batched_group_nms(gb, gs, gv, nms_thresh: float, pruned: bool | None = None):
+    """NMS over [N, G, P] batched groups, FG classes first and BG last.
+
+    pruned=None reads the ROI_PRUNED_NMS env default. The pruned fast path
+    is EXACT: a whole-batch ``lax.cond`` falls back to the full path
+    whenever any FG group has more than K valid rows (see
+    :func:`ops.nms.nms_mask_pruned`); the BG group (valid ~= all unclaimed
+    proposals) always takes the full path.
+    """
+    if pruned is None:
+        pruned = _PRUNED_NMS_DEFAULT
+    n, g, p = gs.shape
+
+    def full(_):
+        keep = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)[0]
+        )(gb.reshape(n * g, p, 4), gs.reshape(n * g, p), gv.reshape(n * g, p))
+        return keep.reshape(n, g, p)
+
+    k = min(_PRUNED_NMS_K, p)
+    if not pruned or k >= p:
+        return full(None)
+
+    def pruned_fn(_):
+        keep_fg = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask_pruned(b, s, v, nms_thresh, k)
+        )(
+            gb[:, :-1].reshape(n * (g - 1), p, 4),
+            gs[:, :-1].reshape(n * (g - 1), p),
+            gv[:, :-1].reshape(n * (g - 1), p),
+        ).reshape(n, g - 1, p)
+        keep_bg = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)[0]
+        )(gb[:, -1], gs[:, -1], gv[:, -1])
+        return jnp.concatenate([keep_fg, keep_bg[:, None]], axis=1)
+
+    over = jnp.any(jnp.sum(gv[:, :-1], axis=-1) > k)
+    return jax.lax.cond(over, full, pruned_fn, None)
+
+
+def postprocess_detections(
+    class_logits: jnp.ndarray,
+    box_regression: jnp.ndarray,
+    proposals: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    image_size: jnp.ndarray,
+    cfg: RoIConfig,
+):
+    """Open-set postprocess for ONE image (roi_heads.py:1075-1176).
+
+    class_logits: [P, C]; box_regression: [P, C*4] or [P, 4];
+    proposals: [P, 4]; image_size: (h, w).
+
+    Returns dict of fixed-size outputs:
+      boxes/scores/labels/valid: [D + P, ...] — FG detections (D =
+        detections_per_img) concatenated with surviving BG boxes (P slots)
+      all_scores: [P, C] softmax scores (pre-NMS, all classes)
+      all_boxes:  [P, C, 4] clipped per-class boxes (pre-NMS)
+
+    Single-image composition of the split halves (always the full NMS path;
+    the batched eval path in :func:`roi_heads_forward` hoists the NMS out of
+    the vmap to enable the pruned fast path).
+    """
+    (gb, gs, gv), inter = _postproc_groups(
+        class_logits, box_regression, proposals, prop_valid, image_size, cfg)
+    keep_all = _batched_group_nms(
+        gb[None], gs[None], gv[None], cfg.nms_thresh, pruned=False)[0]
+    return _postproc_outputs(inter, keep_all, cfg)
 
 
 def postprocess_detections_ann(
@@ -363,9 +463,19 @@ def roi_heads_forward(
     class_logits = class_logits.reshape(n, p, -1)
     box_regression = box_regression.reshape(n, p, -1)
 
-    post = postprocess_detections if open_set else postprocess_detections_ann
-    det = jax.vmap(lambda cl, br, pr, pv, sz: post(cl, br, pr, pv, sz, cfg))(
-        class_logits, box_regression, proposals, prop_valid, image_sizes
-    )
+    if open_set:
+        # NMS hoisted out of the per-image vmap so the pruned fast path's
+        # exact lax.cond fallback is a real branch (see _batched_group_nms).
+        (gb, gs, gv), inter = jax.vmap(
+            lambda cl, br, pr, pv, sz: _postproc_groups(cl, br, pr, pv, sz, cfg)
+        )(class_logits, box_regression, proposals, prop_valid, image_sizes)
+        keep_all = _batched_group_nms(gb, gs, gv, cfg.nms_thresh)
+        det = jax.vmap(lambda iv, ka: _postproc_outputs(iv, ka, cfg))(
+            inter, keep_all)
+    else:
+        det = jax.vmap(
+            lambda cl, br, pr, pv, sz: postprocess_detections_ann(
+                cl, br, pr, pv, sz, cfg)
+        )(class_logits, box_regression, proposals, prop_valid, image_sizes)
     det["rates"] = rates
     return det, losses

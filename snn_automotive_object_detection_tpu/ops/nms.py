@@ -148,6 +148,36 @@ def batched_nms_mask(boxes, scores, idxs, valid, iou_threshold):
     return nms_mask(boxes, scores, valid, iou_threshold, groups=idxs)
 
 
+def nms_mask_pruned(boxes, scores, valid, iou_threshold, k: int):
+    """Greedy NMS over [N] rows of which AT MOST ``k`` are valid.
+
+    EXACT under that precondition (the caller must guarantee it, e.g. with a
+    ``lax.cond`` fallback to :func:`nms_mask` on ``valid.sum() > k``):
+    invalid rows are greedy no-ops, so selecting the top-``k`` masked scores
+    captures every row that can keep or suppress. The selected rows are
+    re-sorted by (score desc, index asc) — plain TPU ``lax.top_k`` is not
+    index-stable on ties over long rows, and the stable re-sort of the
+    k-subset restores exactly the order the full path's stable argsort gives
+    the valid rows. One NMS block of ``k`` instead of N/256, and an
+    [k, k] IoU instead of [256, N] per block.
+
+    Returns keep: [N] bool in original order.
+    """
+    n = boxes.shape[0]
+    masked = jnp.where(valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(masked, k)
+    # Stable (score desc, index asc): sort by (-score, index) ascending.
+    _, idx_s, vals_s = jax.lax.sort(
+        (-vals, idx.astype(jnp.int32), vals), num_keys=2
+    )
+    valid_k = vals_s > NEG_INF
+    keep_k, _ = nms_mask(
+        boxes[idx_s], vals_s, valid_k, iou_threshold,
+        block_size=k, presorted=True,
+    )
+    return jnp.zeros((n,), bool).at[idx_s].set(keep_k & valid_k)
+
+
 def topk_after_nms(scores: jnp.ndarray, keep: jnp.ndarray, k: int):
     """Select up to ``k`` kept entries, score-descending.
 

@@ -71,3 +71,29 @@ def test_per_class_nms_matches_grouped(rng):
     want, _ = run_nms(boxes.reshape(-1, 4), scores.reshape(-1),
                       valid.reshape(-1), 0.5, labels)
     assert got.tolist() == want.tolist()
+
+
+def test_nms_mask_pruned_matches_full(rng):
+    """Pruned NMS == full NMS whenever the valid count fits in K."""
+    for trial in range(5):
+        n, k = 200, 32
+        boxes = random_boxes(rng, n, size=120)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.uniform(0, 1, n) < 0.1  # ~20 valid << K
+        want, _ = run_nms(boxes, scores, valid, 0.5)
+        got = N.nms_mask_pruned(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.5, k)
+        assert np.asarray(got).tolist() == want.tolist()
+
+
+def test_nms_mask_pruned_tie_order(rng):
+    """Duplicate scores: the stable re-sort restores argsort tie order."""
+    n, k = 64, 16
+    boxes = random_boxes(rng, n, size=80)
+    scores = np.repeat(rng.uniform(0, 1, 8).astype(np.float32), 8)
+    valid = rng.uniform(0, 1, n) < 0.15
+    want, _ = run_nms(boxes, scores, valid, 0.5)
+    got = N.nms_mask_pruned(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, k)
+    assert np.asarray(got).tolist() == want.tolist()
