@@ -247,18 +247,21 @@ def _postproc_groups(
     return (gb, gs, gv), inter
 
 
-def _postproc_outputs(inter, keep_all: jnp.ndarray, cfg: RoIConfig):
+def _postproc_outputs(inter, keep_all: jnp.ndarray, bg_order: jnp.ndarray,
+                      cfg: RoIConfig):
     """Per-image second half: top-k after NMS + fixed-size output assembly.
 
     keep_all: [G, P] NMS keep masks from :func:`_batched_group_nms` (FG
-    classes first, BG last).
+    classes first, BG last); bg_order: [P] the BG NMS's own score-descending
+    argsort, reused so the ALL-surviving-BG selection needs no second
+    1000-row sort (see ops.nms.select_kept_in_order).
     """
     g, p = keep_all.shape
     fg_keep = jnp.transpose(keep_all[:g - 1], (1, 0)).reshape(-1)
     d = cfg.detections_per_img
     fg_idx, fg_out_valid = nms_ops.topk_after_nms(inter["fg_scores"], fg_keep, d)
-    bg_idx, bg_out_valid = nms_ops.topk_after_nms(
-        inter["bg_scores"], keep_all[g - 1], p)
+    bg_idx, bg_out_valid = nms_ops.select_kept_in_order(
+        bg_order, keep_all[g - 1])
 
     fg_boxes, fg_scores = inter["fg_boxes"], inter["fg_scores"]
     bg_boxes, bg_scores = inter["bg_boxes"], inter["bg_scores"]
@@ -288,16 +291,19 @@ def _batched_group_nms(gb, gs, gv, nms_thresh: float, pruned: bool | None = None
     whenever any FG group has more than K valid rows (see
     :func:`ops.nms.nms_mask_pruned`); the BG group (valid ~= all unclaimed
     proposals) always takes the full path.
+
+    Returns (keep [N, G, P], bg_order [N, P]) — the BG group's internal
+    score argsort rides along so the output stage can reuse it.
     """
     if pruned is None:
         pruned = _PRUNED_NMS_DEFAULT
     n, g, p = gs.shape
 
     def full(_):
-        keep = jax.vmap(
-            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)[0]
+        keep, order = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)
         )(gb.reshape(n * g, p, 4), gs.reshape(n * g, p), gv.reshape(n * g, p))
-        return keep.reshape(n, g, p)
+        return keep.reshape(n, g, p), order.reshape(n, g, p)[:, -1]
 
     k = min(_PRUNED_NMS_K, p)
     if not pruned or k >= p:
@@ -311,10 +317,10 @@ def _batched_group_nms(gb, gs, gv, nms_thresh: float, pruned: bool | None = None
             gs[:, :-1].reshape(n * (g - 1), p),
             gv[:, :-1].reshape(n * (g - 1), p),
         ).reshape(n, g - 1, p)
-        keep_bg = jax.vmap(
-            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)[0]
+        keep_bg, order_bg = jax.vmap(
+            lambda b, s, v: nms_ops.nms_mask(b, s, v, nms_thresh)
         )(gb[:, -1], gs[:, -1], gv[:, -1])
-        return jnp.concatenate([keep_fg, keep_bg[:, None]], axis=1)
+        return jnp.concatenate([keep_fg, keep_bg[:, None]], axis=1), order_bg
 
     over = jnp.any(jnp.sum(gv[:, :-1], axis=-1) > k)
     return jax.lax.cond(over, full, pruned_fn, None)
@@ -345,9 +351,9 @@ def postprocess_detections(
     """
     (gb, gs, gv), inter = _postproc_groups(
         class_logits, box_regression, proposals, prop_valid, image_size, cfg)
-    keep_all = _batched_group_nms(
-        gb[None], gs[None], gv[None], cfg.nms_thresh, pruned=False)[0]
-    return _postproc_outputs(inter, keep_all, cfg)
+    keep_all, bg_order = _batched_group_nms(
+        gb[None], gs[None], gv[None], cfg.nms_thresh, pruned=False)
+    return _postproc_outputs(inter, keep_all[0], bg_order[0], cfg)
 
 
 def postprocess_detections_ann(
@@ -469,9 +475,9 @@ def roi_heads_forward(
         (gb, gs, gv), inter = jax.vmap(
             lambda cl, br, pr, pv, sz: _postproc_groups(cl, br, pr, pv, sz, cfg)
         )(class_logits, box_regression, proposals, prop_valid, image_sizes)
-        keep_all = _batched_group_nms(gb, gs, gv, cfg.nms_thresh)
-        det = jax.vmap(lambda iv, ka: _postproc_outputs(iv, ka, cfg))(
-            inter, keep_all)
+        keep_all, bg_order = _batched_group_nms(gb, gs, gv, cfg.nms_thresh)
+        det = jax.vmap(lambda iv, ka, bo: _postproc_outputs(iv, ka, bo, cfg))(
+            inter, keep_all, bg_order)
     else:
         det = jax.vmap(
             lambda cl, br, pr, pv, sz: postprocess_detections_ann(

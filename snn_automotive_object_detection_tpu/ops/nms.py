@@ -19,12 +19,19 @@ instead of N scalar steps; everything inside is an MXU/VPU-wide matrix op.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from snn_automotive_object_detection_tpu.ops.boxes import box_iou
 
 NEG_INF = jnp.finfo(jnp.float32).min
+
+# Default NMS block size (serial depth = N/B outer steps of [B, N] IoU work
+# each). 256 balances the in-block fixpoint cost against outer serial depth
+# for the 1000-row RPN/RoI groups; A/B-able via env for TPU tuning.
+_BLOCK = int(os.environ.get("NMS_BLOCK", "256"))
 
 
 def _self_suppress_fixpoint(sup: jnp.ndarray) -> jnp.ndarray:
@@ -60,7 +67,7 @@ def nms_mask(
     valid: jnp.ndarray,
     iou_threshold: float,
     groups: jnp.ndarray | None = None,
-    block_size: int = 256,
+    block_size: int | None = None,
     presorted: bool = False,
 ):
     """Masked greedy NMS.
@@ -85,7 +92,7 @@ def nms_mask(
               matching torchvision's return convention.
     """
     n = boxes.shape[0]
-    b = min(block_size, n)
+    b = min(block_size if block_size is not None else _BLOCK, n)
     n_pad = ((n + b - 1) // b) * b
     num_blocks = n_pad // b
 
@@ -176,6 +183,29 @@ def nms_mask_pruned(boxes, scores, valid, iou_threshold, k: int):
         block_size=k, presorted=True,
     )
     return jnp.zeros((n,), bool).at[idx_s].set(keep_k & valid_k)
+
+
+def select_kept_in_order(order: jnp.ndarray, keep: jnp.ndarray):
+    """Kept entries in score order, using an EXISTING sort.
+
+    order: [N] int32 score-descending indices (e.g. ``nms_mask``'s second
+    return); keep: [N] bool in original index space. Equivalent to
+    ``topk_after_nms(scores, keep, N)`` on the valid prefix but with a
+    cumsum + scatter (stable partition of ``order`` by ``keep``) instead of
+    a second full N-row sort. Tail entries (valid=False) are the non-kept
+    indices in score order — the topk variant's NEG_INF-tie tail is
+    unspecified on TPU anyway, and consumers mask on ``valid``.
+
+    Returns (idx [N] int32, valid [N] bool).
+    """
+    n = order.shape[0]
+    kept_o = keep[order]
+    cum = jnp.cumsum(kept_o.astype(jnp.int32))
+    nk = cum[-1]
+    pos_i = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(kept_o, cum - 1, nk + pos_i - cum)
+    idx = jnp.zeros((n,), jnp.int32).at[pos].set(order.astype(jnp.int32))
+    return idx, pos_i < nk
 
 
 def topk_after_nms(scores: jnp.ndarray, keep: jnp.ndarray, k: int):

@@ -97,3 +97,21 @@ def test_nms_mask_pruned_tie_order(rng):
     got = N.nms_mask_pruned(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, k)
     assert np.asarray(got).tolist() == want.tolist()
+
+
+def test_select_kept_in_order_matches_topk(rng):
+    """cumsum+scatter selection == topk_after_nms on the valid prefix."""
+    for trial in range(5):
+        n = 100
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.uniform(0, 1, n) < 0.7
+        boxes = random_boxes(rng, n, size=150)
+        keep, order = N.nms_mask(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5)
+        idx_a, val_a = N.select_kept_in_order(order, keep)
+        idx_b, val_b = N.topk_after_nms(
+            jnp.asarray(scores), jnp.asarray(keep), n)
+        val_a, val_b = np.asarray(val_a), np.asarray(val_b)
+        assert np.array_equal(val_a, val_b)
+        nk = int(val_a.sum())
+        assert np.array_equal(np.asarray(idx_a)[:nk], np.asarray(idx_b)[:nk])

@@ -25,17 +25,18 @@ def _groups(rng, n=2, g=6, p=300, frac=0.05):
 
 def test_pruned_batched_group_nms_matches_full(rng):
     gb, gs, gv = _groups(rng)
-    full = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=False)
-    pruned = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=True)
+    full, ord_f = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=False)
+    pruned, ord_p = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=True)
     assert np.array_equal(np.asarray(full), np.asarray(pruned))
+    assert np.array_equal(np.asarray(ord_f), np.asarray(ord_p))
 
 
 def test_pruned_fallback_on_overflow(rng, monkeypatch):
     # Force a tiny K so an FG group overflows -> cond takes the full path.
     monkeypatch.setattr(RH, "_PRUNED_NMS_K", 8)
     gb, gs, gv = _groups(rng, frac=0.2)  # ~60 valid >> 8
-    full = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=False)
-    pruned = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=True)
+    full, _ = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=False)
+    pruned, _ = RH._batched_group_nms(gb, gs, gv, 0.5, pruned=True)
     assert np.array_equal(np.asarray(full), np.asarray(pruned))
 
 
@@ -59,8 +60,8 @@ def test_postprocess_matches_batched(rng):
         jnp.asarray(logits), jnp.asarray(reg), jnp.asarray(props),
         jnp.asarray(pv), jnp.asarray(size), cfg)
     for pruned in (False, True):
-        keep = RH._batched_group_nms(
-            gb[None], gs[None], gv[None], cfg.nms_thresh, pruned=pruned)[0]
-        got = RH._postproc_outputs(inter, keep, cfg)
+        keep, bg_order = RH._batched_group_nms(
+            gb[None], gs[None], gv[None], cfg.nms_thresh, pruned=pruned)
+        got = RH._postproc_outputs(inter, keep[0], bg_order[0], cfg)
         for k in ref:
             assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
