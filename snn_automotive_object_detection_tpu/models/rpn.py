@@ -92,6 +92,66 @@ def flatten_head_outputs(
 # lax.top_k and is the more canonical order (tests/test_blocked_topk.py).
 _BLOCKED_TOPK_DEFAULT = os.environ.get("RPN_BLOCKED_TOPK", "1") == "1"
 _BLOCKED_TOPK_MIN = int(os.environ.get("RPN_TOPK_BLOCK", "16384"))
+# RPN_TOPK_MODE=threshold swaps the big-level blocked top_k for the
+# sort-free threshold select below (A/B knob; exact either way).
+_TOPK_MODE = os.environ.get("RPN_TOPK_MODE", "blocked")
+
+
+def _threshold_top_k(o: jnp.ndarray, take: int):
+    """Exact top_k(o, take) with no large sort (VERDICT r4 #4a).
+
+    Three passes instead of sorting the K-long row:
+      1. per-row ``take``-th largest value by a 32-step binary descent on
+         the monotone uint32 key (each step one masked count reduction);
+      2. selection mask = keys above the threshold plus the first
+         (take - #above) threshold ties in index order (cumsum tie rank);
+      3. cumsum-compact the <= ``take`` selected (value, index) pairs and
+         sort just those by (key desc, index asc).
+    Matches ``_blocked_top_k``'s values bit-exactly and its
+    lowest-index-first tie order (= CPU lax.top_k semantics).
+    """
+    n, k = o.shape
+    u = jax.lax.bitcast_convert_type(o, jnp.uint32)
+    # Monotone total order on floats (incl. -0.0 < +0.0; NaNs don't occur
+    # in objectness logits): negatives flip all bits, positives the sign.
+    key = jnp.where(u >> 31 == 1, ~u, u | jnp.uint32(0x80000000))
+
+    def bit_step(i, pref):
+        cand = pref | (jnp.uint32(1) << (31 - i).astype(jnp.uint32))
+        cnt = jnp.sum((key >= cand[:, None]).astype(jnp.int32), axis=1)
+        return jnp.where(cnt >= take, cand, pref)
+
+    tau = jax.lax.fori_loop(
+        0, 32, bit_step, jnp.zeros((n,), jnp.uint32))[:, None]
+
+    gt = key > tau
+    eq = key == tau
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
+    rank_gt = jnp.cumsum(gt.astype(jnp.int32), axis=1)
+    rank_eq = jnp.cumsum(eq.astype(jnp.int32), axis=1)
+    sel_eq = eq & (rank_eq <= take - n_gt)
+    # Unique slots: above-threshold rows fill [0, n_gt) in index order,
+    # selected ties fill [n_gt, take); everything else hits the dump slot.
+    # cnt(key >= tau) >= take guarantees all `take` slots get written.
+    pos = jnp.where(gt, rank_gt - 1,
+                    jnp.where(sel_eq, n_gt + rank_eq - 1, take))
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    kbuf = jnp.zeros((n, take + 1), jnp.uint32).at[rows, pos].set(
+        key, mode="drop")
+    ibuf = jnp.zeros((n, take + 1), jnp.int32).at[rows, pos].set(
+        jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (n, k)),
+        mode="drop")
+    # Sort the take candidates: ~key ascending == key descending, stable
+    # second key = index ascending. Dump slot (key 0 -> ~key max) lands
+    # last; with fewer than take real rows its value decodes to -inf.
+    skey, sidx = jax.lax.sort((~kbuf[:, :take], ibuf[:, :take]),
+                              dimension=1, num_keys=2, is_stable=False)
+    # Invert the key map (skey = ~key): positives had the sign bit OR'd in
+    # (key MSB 1 <-> skey MSB 0), negatives were fully flipped.
+    vals = jax.lax.bitcast_convert_type(
+        jnp.where(skey >> 31 == 0, (~skey) & jnp.uint32(0x7FFFFFFF), skey),
+        jnp.float32)
+    return vals, sidx
 
 
 def _blocked_top_k(o: jnp.ndarray, take: int, block: int):
@@ -145,7 +205,10 @@ def select_pre_nms(
         take = min(top_n, k)
         o = objectness[:, offset:offset + k]
         if blocked and k >= 2 * _BLOCKED_TOPK_MIN and take <= _BLOCKED_TOPK_MIN:
-            vals, idx = _blocked_top_k(o, take, _BLOCKED_TOPK_MIN)
+            if _TOPK_MODE == "threshold":
+                vals, idx = _threshold_top_k(o, take)
+            else:
+                vals, idx = _blocked_top_k(o, take, _BLOCKED_TOPK_MIN)
         else:
             vals, idx = jax.lax.top_k(o, take)  # [N, take]
         obj_sel.append(vals)

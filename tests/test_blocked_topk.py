@@ -49,3 +49,33 @@ def test_select_pre_nms_blocked_matches_plain():
     obj_b, idx_b = rpn.select_pre_nms(o, counts, 1000, blocked=True)
     np.testing.assert_array_equal(np.asarray(obj_a), np.asarray(obj_b))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+
+
+@pytest.mark.parametrize("k,take,tie", [
+    (55296, 1000, False),
+    (70000, 500, True),      # heavy cross-block ties at the threshold
+    (4096, 4096, False),     # take == k edge
+])
+def test_threshold_top_k_bit_identical(k, take, tie):
+    key = jax.random.PRNGKey(k + take)
+    if tie:
+        o = jax.random.randint(key, (2, k), 0, 7).astype(jnp.float32)
+    else:
+        o = jax.random.normal(key, (2, k), jnp.float32) * 4.0
+    # Exercise the sortable-key map's sign/zero edges.
+    o = o.at[:, :4].set(jnp.asarray([0.0, -0.0, 1e-30, -5.0]))
+    v_ref, i_ref = rpn._blocked_top_k(o, take, 8192)
+    v_thr, i_thr = rpn._threshold_top_k(o, take)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_thr))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_thr))
+
+
+def test_select_pre_nms_threshold_mode(monkeypatch):
+    monkeypatch.setattr(rpn, "_TOPK_MODE", "threshold")
+    counts = [221184, 55296, 13824, 3456, 864]
+    key = jax.random.PRNGKey(2)
+    o = jax.random.normal(key, (2, sum(counts)), jnp.float32)
+    obj_a, idx_a = rpn.select_pre_nms(o, counts, 1000, blocked=False)
+    obj_b, idx_b = rpn.select_pre_nms(o, counts, 1000, blocked=True)
+    np.testing.assert_array_equal(np.asarray(obj_a), np.asarray(obj_b))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))

@@ -56,6 +56,22 @@ def main():
         print(f"blocked block={block:6d}: {t_blk:7.3f} ms  exact={exact}",
               flush=True)
 
+    # Sort-free threshold select on the big levels (VERDICT r4 #4a).
+    rpn._BLOCKED_TOPK_MIN = 16384
+    rpn._TOPK_MODE = "threshold"
+    thr = jax.jit(lambda x: rpn.select_pre_nms(x, COUNTS, TOP_N, blocked=True))
+    t_thr = timed(thr, o)
+    got = [np.asarray(a) for a in thr(o)]
+    # Tie order vs blocked differs only where plain TPU top_k already
+    # differs; compare against the blocked (lowest-index-first) reference.
+    rpn._TOPK_MODE = "blocked"
+    ref_b = [np.asarray(a)
+             for a in jax.jit(lambda x: rpn.select_pre_nms(
+                 x, COUNTS, TOP_N, blocked=True))(o)]
+    exact = all(np.array_equal(r, g) for r, g in zip(ref_b, got))
+    print(f"threshold select:      {t_thr:7.3f} ms  exact(vs blocked)={exact}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
