@@ -157,12 +157,20 @@ def make_head_applies(config, params, collect_rates: bool, training: bool = Fals
                               collect_rates)
         )
 
+        # Fused tail kernel (snn/pallas_tail.py): consumes the fc6 kernel's
+        # currents with all LIF/LI state VMEM-resident. Same gates as the
+        # fc6 kernel plus f32 states (heads.py re-checks shapes/dtypes and
+        # falls back to the XLA tail scan otherwise).
+        use_pallas_tail = use_pallas_fc6 and getattr(
+            config, "det_tail_pallas", True)
+
         def box_head_apply(flat):
             return heads.fastrcnn_snn_apply(
                 params["box_head"], flat, config.t_det,
                 collect_rates=collect_rates, compute_dtype=dtype,
                 fast_encoder=fast_enc, precompute_fc6=pre_fc6,
-                pallas_fc6=use_pallas_fc6, state_dtype=sdt,
+                pallas_fc6=use_pallas_fc6, pallas_tail=use_pallas_tail,
+                state_dtype=sdt,
             )
     else:
         def box_head_apply(flat):

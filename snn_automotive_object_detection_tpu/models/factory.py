@@ -72,6 +72,11 @@ class DetectorConfig:
     # membrane's per-step HBM round trip (the box-head scan's dominant
     # non-GEMM cost).
     det_fc6_pallas: bool = True
+    # Fused VMEM-resident LIF/fc7/readout tail for the spiking box head
+    # (snn/pallas_tail.py) — rides the fc6 kernel's currents; TPU + bf16
+    # compute + f32 states (the production AMP mode) only, bit-identical
+    # to the XLA tail scan at those numerics.
+    det_tail_pallas: bool = True
     # Fused Pallas FPN (ops/pallas_fpn.py): lateral + top-down merge +
     # outer 3x3 per level in one kernel — TPU + bf16 inference, ResNet
     # only.

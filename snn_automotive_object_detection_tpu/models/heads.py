@@ -246,6 +246,7 @@ def fastrcnn_snn_apply(
     fast_encoder: bool = False,
     precompute_fc6: bool = False,
     pallas_fc6: bool = False,
+    pallas_tail: bool = False,
     state_dtype=None,
 ):
     """Spiking box head. x: [R, C*7*7] flattened RoI features.
@@ -285,6 +286,32 @@ def fastrcnn_snn_apply(
         cur6_all, enc_counts = encoder_fc6_pallas(
             x, w6, num_steps, state_dtype=cd, collect_rates=collect_rates
         )
+        from snn_automotive_object_detection_tpu.snn.pallas_tail import (
+            box_tail_pallas,
+            tail_supported,
+        )
+
+        if (
+            pallas_tail
+            and cd == jnp.bfloat16
+            and sd == jnp.float32
+            and tail_supported(rep, n_cls, n_reg, num_steps)
+        ):
+            # Fused VMEM-resident LIF/fc7/readout tail (snn/pallas_tail.py):
+            # bit-identical to _fastrcnn_snn_from_cur6 at the production
+            # (bf16 compute, f32 state) numerics, ~5x less HBM traffic.
+            cls_v, box_v, c6, c7 = box_tail_pallas(
+                cur6_all.astype(cd), w7, wc, wb, num_steps,
+                collect_rates=collect_rates,
+            )
+            rates = None
+            if collect_rates:
+                rates = {
+                    "encoder": enc_counts / (num_steps * d_in),
+                    "fc6": c6 / (num_steps * rep),
+                    "fc7": c7 / (num_steps * rep),
+                }
+            return cls_v, box_v, rates
         return _fastrcnn_snn_from_cur6(
             cur6_all.astype(cd), w7, wc, wb, num_steps, collect_rates, cd,
             enc_counts=enc_counts, d_in=d_in, state_dtype=sd,
